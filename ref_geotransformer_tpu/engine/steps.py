@@ -1,0 +1,98 @@
+"""Jitted train / eval step factories (single-pair and batched/DP).
+
+The reference runs one pair per GPU per step (README.md:174-182, a hard
+limitation of its variable-shape "pack mode"). Static shapes lift that
+restriction: a batch of pairs is just a leading vmap axis, and data
+parallelism shards that axis over the mesh inside one jit — gradients are
+globally averaged by construction (the SPMD partitioner inserts the
+reduction, replacing DDP's bucket all-reduce).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ref_geotransformer_tpu.config import GeoTransformerConfig
+from ref_geotransformer_tpu.models.losses import evaluate, overall_loss
+
+
+def make_train_step(
+    model,
+    cfg: GeoTransformerConfig,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `batch` is a pytree of arrays with a leading batch axis (use
+    tests/utils-style builders or the datasets' collate). With a mesh, the
+    batch axis is sharded over 'data' and params are replicated.
+    """
+
+    def loss_for_pair(params, buffers, data, rng):
+        out = model.apply(
+            {"params": params, "buffers": buffers}, data, training=True, rngs={"target": rng}
+        )
+        losses = overall_loss(out, data["transform"], cfg.coarse_loss, cfg.fine_loss, cfg.loss)
+        return losses
+
+    def step(state, batch, rng):
+        batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        rngs = jax.random.split(rng, batch_size)
+
+        def mean_loss(params):
+            losses = jax.vmap(lambda d, r: loss_for_pair(params, state.buffers, d, r))(batch, rngs)
+            losses = jax.tree_util.tree_map(jnp.mean, losses)
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(mean_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, cfg: GeoTransformerConfig, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns eval_step(state, batch) -> metric dict (per-batch means)."""
+
+    def eval_pair(params, buffers, data):
+        out = model.apply({"params": params, "buffers": buffers}, data, training=False)
+        metrics = evaluate(out, data["transform"], cfg.eval)
+        losses = overall_loss(out, data["transform"], cfg.coarse_loss, cfg.fine_loss, cfg.loss)
+        return {**losses, **metrics}
+
+    def step(state, batch):
+        metrics = jax.vmap(lambda d: eval_pair(state.params, state.buffers, d))(batch)
+        return jax.tree_util.tree_map(jnp.mean, metrics)
+
+    if mesh is None:
+        return jax.jit(step)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=repl)
+
+
+def make_forward_fn(model) -> Callable:
+    """Plain jitted single-pair forward (inference path)."""
+
+    @jax.jit
+    def forward(params, buffers, data):
+        return model.apply({"params": params, "buffers": buffers}, data, training=False)
+
+    return forward

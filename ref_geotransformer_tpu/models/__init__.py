@@ -1,0 +1,47 @@
+from ref_geotransformer_tpu.models.kpconv import (
+    KPConv,
+    ConvBlock,
+    ResidualBlock,
+    UnaryBlock,
+    LastUnaryBlock,
+    nearest_upsample,
+    knn_interpolate,
+    maxpool,
+    global_avgpool,
+)
+from ref_geotransformer_tpu.models.norms import MaskedGroupNorm
+from ref_geotransformer_tpu.models.backbone import KPConvFPN
+from ref_geotransformer_tpu.models.embedding import (
+    SinusoidalPositionalEmbedding,
+    LearnablePositionalEmbedding,
+    GeometricStructureEmbedding,
+)
+from ref_geotransformer_tpu.models.attention import (
+    MultiHeadAttention,
+    RPEMultiHeadAttention,
+    PEMultiHeadAttention,
+    AttentionLayer,
+    RPEAttentionLayer,
+    TransformerLayer,
+    RPETransformerLayer,
+    TransformerEncoderLayer,
+    RPEConditionalTransformer,
+    VanillaConditionalTransformer,
+)
+from ref_geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
+from ref_geotransformer_tpu.models.matching import superpoint_matching, superpoint_target_sample
+from ref_geotransformer_tpu.models.procrustes import weighted_procrustes
+from ref_geotransformer_tpu.models.registration import (
+    get_node_correspondences,
+    local_to_global_registration,
+    compute_correspondence_matrix,
+)
+from ref_geotransformer_tpu.models.geotransformer import GeoTransformer, GeometricTransformer, create_model
+from ref_geotransformer_tpu.models.losses import (
+    circle_loss,
+    weighted_circle_loss,
+    coarse_matching_loss,
+    fine_matching_loss,
+    overall_loss,
+    evaluate,
+)

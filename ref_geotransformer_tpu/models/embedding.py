@@ -1,0 +1,107 @@
+"""Positional / geometric structure embeddings.
+
+Ref parity: modules/transformer/positional_embedding.py:8-65 and
+modules/geotransformer/geotransformer.py:9-72 (pair-wise distance + triplet
+angle embedding, the SE(3)-invariant heart of GeoTransformer).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ref_geotransformer_tpu.ops.pairwise import pairwise_distance
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    """sin/cos embedding of continuous indices (positional_embedding.py:8-34)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, emb_indices: jnp.ndarray) -> jnp.ndarray:
+        assert self.d_model % 2 == 0
+        div_indices = jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+        div_term = jnp.exp(div_indices * (-np.log(10000.0) / self.d_model))
+        omegas = emb_indices[..., None, None] * div_term[:, None]  # (*, d/2, 1)
+        emb = jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (*, d/2, 2)
+        emb = emb.reshape(emb_indices.shape + (self.d_model,))
+        return jax.lax.stop_gradient(emb)
+
+
+class LearnablePositionalEmbedding(nn.Module):
+    """Embedding bank + LayerNorm, indices clamped (positional_embedding.py:37-65)."""
+
+    num_embeddings: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, emb_indices: jnp.ndarray) -> jnp.ndarray:
+        table = nn.Embed(self.num_embeddings, self.embedding_dim, name="embeddings")
+        idx = jnp.minimum(emb_indices.astype(jnp.int32), self.num_embeddings - 1)
+        emb = table(idx)
+        return nn.LayerNorm(name="norm")(emb)
+
+
+class GeometricStructureEmbedding(nn.Module):
+    """Pair-distance + triplet-angle embedding over superpoints
+    (geotransformer.py:9-72), mask-aware for padded nodes.
+
+    Output: (B, N, N, hidden_dim).
+    """
+
+    hidden_dim: int
+    sigma_d: float
+    sigma_a: float
+    angle_k: int
+    reduction_a: str = "max"
+
+    def get_embedding_indices(self, points: jnp.ndarray, masks: Optional[jnp.ndarray]):
+        """d_indices (B, N, N), a_indices (B, N, N, k). Invalid nodes are
+        excluded from the kNN used for reference vectors."""
+        b, n, _ = points.shape
+        k = self.angle_k
+
+        dist_map = jnp.sqrt(pairwise_distance(points, points))  # (B, N, N)
+        d_indices = dist_map / self.sigma_d
+
+        knn_dist = dist_map
+        if masks is not None:
+            knn_dist = jnp.where(masks[:, None, :], knn_dist, 1e12)
+        # k+1 nearest, drop self (geotransformer.py:42-43)
+        _, knn_indices = jax.lax.top_k(-knn_dist, k + 1)
+        knn_indices = knn_indices[:, :, 1:]  # (B, N, k)
+
+        knn_points = jax.vmap(lambda pts, idx: pts[idx])(points, knn_indices)  # (B, N, k, 3)
+        ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, N, 3)
+
+        ref_vec = ref_vectors[:, :, None, :, :]  # (B, N, 1, k, 3)
+        anc_vec = anc_vectors[:, :, :, None, :]  # (B, N, N, 1, 3)
+        sin_values = jnp.linalg.norm(jnp.cross(ref_vec, anc_vec), axis=-1)  # (B, N, N, k)
+        cos_values = jnp.sum(ref_vec * anc_vec, axis=-1)
+        angles = jnp.arctan2(sin_values, cos_values)
+        factor_a = 180.0 / (self.sigma_a * np.pi)
+        a_indices = angles * factor_a
+        return d_indices, a_indices
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d_indices, a_indices = self.get_embedding_indices(points, masks)
+        d_indices = jax.lax.stop_gradient(d_indices)
+        a_indices = jax.lax.stop_gradient(a_indices)
+
+        embed = SinusoidalPositionalEmbedding(self.hidden_dim, name="embedding")
+        d_emb = nn.Dense(self.hidden_dim, name="proj_d")(embed(d_indices))  # (B, N, N, C)
+        a_emb = nn.Dense(self.hidden_dim, name="proj_a")(embed(a_indices))  # (B, N, N, k, C)
+        if self.reduction_a == "max":
+            a_emb = jnp.max(a_emb, axis=3)
+        elif self.reduction_a == "mean":
+            a_emb = jnp.mean(a_emb, axis=3)
+        else:
+            raise ValueError(f"Unsupported reduction mode: {self.reduction_a}.")
+        return d_emb + a_emb

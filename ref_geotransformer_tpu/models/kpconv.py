@@ -1,0 +1,244 @@
+"""Kernel-point convolution (KPConv) and its building blocks, in flax.
+
+Ref parity: modules/kpconv/kpconv.py:10-133 (KPConv forward math),
+modules/kpconv/modules.py:53-225 (Unary/Conv/Residual blocks),
+modules/kpconv/functional.py:6-90 (nearest_upsample / maxpool / knn
+interpolate / global pooling).
+
+TPU mapping: the per-point gather + influence weighting + per-kernel-point
+matmul is expressed as two einsums whose contraction XLA fuses and tiles onto
+the MXU — (M,K,H)x(M,H,C) then (M,K,C)x(K,C,O) reshaped as one
+(M, K*C)@(K*C, O) GEMM. The "shadow point" convention uses fill=1e6 for
+coordinates (influence 0 after the clamp) and fill=0 for features, exactly
+like the reference's appended rows (kpconv.py:91-103).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ref_geotransformer_tpu.models.kernel_points import load_kernels
+from ref_geotransformer_tpu.models.norms import MaskedGroupNorm
+from ref_geotransformer_tpu.ops.index import masked_gather
+
+_SHADOW = 1e6
+
+
+def _kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_(a=sqrt(5)) on a (K, Cin, Cout) weight: fan_in =
+    K * Cin (torch counts dim-1 as in-channels with receptive field dim0)."""
+    fan_in = shape[0] * shape[1]
+    gain = math.sqrt(2.0 / (1.0 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class KPConv(nn.Module):
+    """Rigid kernel-point convolution.
+
+    Call: (s_feats (N, Cin), q_points (M, 3), s_points (N, 3),
+    neighbor_indices (M, H) with sentinel == N) -> (M, Cout).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+        weights = self.param(
+            "weights", _kaiming_uniform, (self.kernel_size, self.in_channels, self.out_channels)
+        )
+        # Kernel dispositions: non-trainable buffer (checkpoints may override).
+        kernel_points = self.variable(
+            "buffers",
+            "kernel_points",
+            lambda: jnp.asarray(load_kernels(self.radius, self.kernel_size)),
+        ).value
+
+        neighbors = masked_gather(s_points, neighbor_indices, fill_value=_SHADOW)  # (M, H, 3)
+        neighbors = neighbors - q_points[:, None, :]
+
+        # linear-correlation influence of each kernel point (kpconv.py:96-100)
+        differences = neighbors[:, :, None, :] - kernel_points[None, None, :, :]  # (M, H, K, 3)
+        sq_distances = jnp.sum(differences**2, axis=3)
+        neighbor_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / self.sigma, 0.0)  # (M, H, K)
+
+        neighbor_feats = masked_gather(s_feats, neighbor_indices, fill_value=0.0)  # (M, H, C)
+        weighted_feats = jnp.einsum(
+            "mhk,mhc->mkc", neighbor_weights, neighbor_feats, preferred_element_type=jnp.float32
+        )
+        output_feats = jnp.einsum(
+            "mkc,kco->mo", weighted_feats, weights, preferred_element_type=jnp.float32
+        )
+
+        # normalize by the number of neighbors with positive feature sum
+        # (reference-exact semantics, kpconv.py:113-116)
+        neighbor_num = jnp.sum((jnp.sum(neighbor_feats, axis=-1) > 0.0).astype(jnp.float32), axis=-1)
+        neighbor_num = jnp.maximum(neighbor_num, 1.0)
+        output_feats = output_feats / neighbor_num[:, None]
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            output_feats = output_feats + bias
+        return output_feats
+
+
+def nearest_upsample(x: jnp.ndarray, upsample_indices: jnp.ndarray) -> jnp.ndarray:
+    """Copy the nearest (first, distance-sorted) support feature per query
+    (functional.py:6-22)."""
+    return masked_gather(x, upsample_indices[:, 0], fill_value=0.0)
+
+
+def knn_interpolate(
+    s_feats: jnp.ndarray,
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    neighbor_indices: jnp.ndarray,
+    k: int,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted kNN interpolation (functional.py:25-51)."""
+    n = s_points.shape[0]
+    knn_indices = neighbor_indices[:, :k]
+    knn_points = masked_gather(s_points, knn_indices, fill_value=0.0)
+    knn_feats = masked_gather(s_feats, knn_indices, fill_value=0.0)
+    knn_sq = jnp.sum((q_points[:, None, :] - knn_points) ** 2, axis=-1)
+    knn_masks = (knn_indices < n).astype(s_feats.dtype)
+    knn_weights = knn_masks / (knn_sq + eps)
+    knn_weights = knn_weights / (jnp.sum(knn_weights, axis=1, keepdims=True) + eps)
+    return jnp.sum(knn_feats * knn_weights[:, :, None], axis=1)
+
+
+def maxpool(x: jnp.ndarray, neighbor_indices: jnp.ndarray) -> jnp.ndarray:
+    """Max over neighbor features; empty slots contribute 0 (functional.py:54-67).
+
+    Note the reference pads with a zero row, so its max is also implicitly
+    clamped at >= 0 for rows with any empty slot; exact parity.
+    """
+    neighbor_feats = masked_gather(x, neighbor_indices, fill_value=0.0)
+    return jnp.max(neighbor_feats, axis=1)
+
+
+def global_avgpool(x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean over one cloud (functional.py:70-90 without the host loop)."""
+    w = masks.astype(x.dtype)[:, None]
+    return jnp.sum(x * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class UnaryBlock(nn.Module):
+    """Linear -> GroupNorm -> LeakyReLU(0.1) (modules.py:53-86)."""
+
+    in_channels: int
+    out_channels: int
+    group_norm: int
+    has_relu: bool = True
+    use_bias: bool = True
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, masks: Optional[jnp.ndarray] = None):
+        x = nn.Dense(self.out_channels, use_bias=self.use_bias, name="mlp")(x)
+        if self.layer_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        else:
+            x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, masks)
+        if self.has_relu:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class LastUnaryBlock(nn.Module):
+    """Plain linear head (modules.py:89-106)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.out_channels, use_bias=self.use_bias, name="mlp")(x)
+
+
+class ConvBlock(nn.Module):
+    """KPConv -> GroupNorm -> LeakyReLU (modules.py:109-147)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    group_norm: int
+    negative_slope: float = 0.1
+    use_bias: bool = True
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None):
+        x = KPConv(
+            self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
+            use_bias=self.use_bias, name="KPConv",
+        )(s_feats, q_points, s_points, neighbor_indices)
+        if self.layer_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        else:
+            x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_masks)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class ResidualBlock(nn.Module):
+    """ResNet bottleneck around KPConv (modules.py:150-225); strided variant
+    uses a maxpool shortcut over the subsampling table."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    group_norm: int
+    strided: bool = False
+    use_bias: bool = True
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None, s_masks=None):
+        if s_masks is None:
+            s_masks = q_masks  # non-strided blocks: queries == supports
+        mid = self.out_channels // 4
+
+        if self.in_channels != mid:
+            x = UnaryBlock(self.in_channels, mid, self.group_norm, use_bias=self.use_bias,
+                           layer_norm=self.layer_norm, name="unary1")(s_feats, s_masks)
+        else:
+            x = s_feats
+
+        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, use_bias=self.use_bias,
+                   name="KPConv")(x, q_points, s_points, neighbor_indices)
+        if self.layer_norm:
+            x = nn.LayerNorm(name="norm_conv")(x)
+        else:
+            x = MaskedGroupNorm(self.group_norm, mid, name="norm_conv")(x, q_masks)
+        x = nn.leaky_relu(x, 0.1)
+
+        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False,
+                       use_bias=self.use_bias, layer_norm=self.layer_norm, name="unary2")(x, q_masks)
+
+        if self.strided:
+            shortcut = maxpool(s_feats, neighbor_indices)
+        else:
+            shortcut = s_feats
+        if self.in_channels != self.out_channels:
+            shortcut = UnaryBlock(self.in_channels, self.out_channels, self.group_norm, has_relu=False,
+                                  use_bias=self.use_bias, layer_norm=self.layer_norm,
+                                  name="unary_shortcut")(shortcut, q_masks)
+
+        return nn.leaky_relu(x + shortcut, 0.1)

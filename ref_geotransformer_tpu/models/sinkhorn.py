@@ -1,0 +1,77 @@
+"""Learnable log-domain optimal transport (SuperGlue-style Sinkhorn).
+
+Ref parity: modules/sinkhorn/learnable_sinkhorn.py:5-70. The 100-iteration
+row/col logsumexp normalization runs as a `lax.scan`, which XLA compiles to a
+single fused on-device loop over (B, M+1, N+1) score tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LearnableLogOptimalTransport(nn.Module):
+    num_iterations: int
+    inf: float = 1e12
+
+    @nn.compact
+    def __call__(
+        self,
+        scores: jnp.ndarray,
+        row_masks: Optional[jnp.ndarray] = None,
+        col_masks: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Args:
+            scores: (B, M, N) matching scores.
+            row_masks: (B, M) validity.
+            col_masks: (B, N) validity.
+
+        Returns:
+            (B, M+1, N+1) log assignment with dustbin row/col.
+        """
+        alpha = self.param("alpha", nn.initializers.ones, ())
+        b, m, n = scores.shape
+        if row_masks is None:
+            row_masks = jnp.ones((b, m), bool)
+        if col_masks is None:
+            col_masks = jnp.ones((b, n), bool)
+
+        padded_row_valid = jnp.concatenate([row_masks, jnp.ones((b, 1), bool)], axis=1)  # (B, M+1)
+        padded_col_valid = jnp.concatenate([col_masks, jnp.ones((b, 1), bool)], axis=1)  # (B, N+1)
+        score_valid = jnp.logical_and(padded_row_valid[:, :, None], padded_col_valid[:, None, :])
+
+        padded_col = jnp.broadcast_to(alpha, (b, m, 1))
+        padded_row = jnp.broadcast_to(alpha, (b, 1, n + 1))
+        padded_scores = jnp.concatenate(
+            [jnp.concatenate([scores, padded_col], axis=-1), padded_row], axis=1
+        )
+        padded_scores = jnp.where(score_valid, padded_scores, -self.inf)
+
+        num_valid_row = jnp.sum(row_masks.astype(scores.dtype), axis=1)
+        num_valid_col = jnp.sum(col_masks.astype(scores.dtype), axis=1)
+        norm = -jnp.log(num_valid_row + num_valid_col)  # (B,)
+
+        log_mu = jnp.concatenate(
+            [jnp.broadcast_to(norm[:, None], (b, m)), (jnp.log(num_valid_col) + norm)[:, None]], axis=1
+        )
+        log_mu = jnp.where(padded_row_valid, log_mu, -self.inf)
+        log_nu = jnp.concatenate(
+            [jnp.broadcast_to(norm[:, None], (b, n)), (jnp.log(num_valid_row) + norm)[:, None]], axis=1
+        )
+        log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
+
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(padded_scores + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(padded_scores + u[:, :, None], axis=1)
+            return (u, v), None
+
+        init = (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu))
+        (u, v), _ = jax.lax.scan(body, init, None, length=self.num_iterations)
+
+        outputs = padded_scores + u[:, :, None] + v[:, None, :]
+        return outputs - norm[:, None, None]
