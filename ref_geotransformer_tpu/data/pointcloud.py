@@ -1,0 +1,84 @@
+"""Host-side (numpy) point-cloud utilities: random rotations, transforms,
+sampling. Ref parity: utils/pointcloud.py:11-273 (the numpy mirror of the
+device-side ops in ref_geotransformer_tpu.ops)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def np_apply_transform(points: np.ndarray, transform: np.ndarray) -> np.ndarray:
+    return points @ transform[:3, :3].T + transform[:3, 3]
+
+
+def np_get_transform(rotation: np.ndarray, translation: np.ndarray) -> np.ndarray:
+    transform = np.eye(4, dtype=rotation.dtype)
+    transform[:3, :3] = rotation
+    transform[:3, 3] = translation
+    return transform
+
+
+def np_inverse_transform(transform: np.ndarray) -> np.ndarray:
+    rotation = transform[:3, :3].T
+    translation = -rotation @ transform[:3, 3]
+    return np_get_transform(rotation, translation)
+
+
+def random_sample_rotation(rotation_factor: float = 1.0, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Uniform-ish random rotation scaled by rotation_factor
+    (utils/pointcloud.py:112-123: random axis + angle in [0, 2pi*factor))."""
+    rng = rng or np.random.default_rng()
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis) + 1e-12
+    theta = rng.uniform(0.0, 2 * np.pi) * rotation_factor
+    k = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]], dtype=np.float64
+    )
+    rot = np.eye(3) + np.sin(theta) * k + (1 - np.cos(theta)) * (k @ k)
+    return rot.astype(np.float32)
+
+
+def random_sample_rotation_v2(rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Fully random SO(3) rotation (utils/pointcloud.py:126-133)."""
+    rng = rng or np.random.default_rng()
+    # QR of a random Gaussian matrix with sign fix -> Haar-uniform rotation
+    a = rng.normal(size=(3, 3))
+    q, r = np.linalg.qr(a)
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q.astype(np.float32)
+
+
+def random_point_limit(points: np.ndarray, limit: Optional[int], rng: Optional[np.random.Generator] = None):
+    """Random truncation to at most `limit` points (dataset.py:60-66)."""
+    if limit is not None and points.shape[0] > limit:
+        rng = rng or np.random.default_rng()
+        indices = rng.permutation(points.shape[0])[:limit]
+        points = points[indices]
+    return points
+
+
+def get_nearest_correspondences(
+    ref_points: np.ndarray, src_points: np.ndarray, transform: np.ndarray, matching_radius: float
+) -> np.ndarray:
+    """GT point correspondences within a radius, via scipy cKDTree
+    (utils/registration.py:161-173)."""
+    from scipy.spatial import cKDTree
+
+    src_t = np_apply_transform(src_points, transform)
+    tree = cKDTree(ref_points)
+    pairs = tree.query_ball_point(src_t, matching_radius)
+    corr = [(r, s) for s, rs in enumerate(pairs) for r in rs]
+    return np.asarray(corr, dtype=np.int64).reshape(-1, 2)
+
+
+def regularize_normals(points: np.ndarray, normals: np.ndarray, positive: bool = True) -> np.ndarray:
+    """Flip normals towards (or away from) the viewpoint at the origin
+    (utils/pointcloud.py convention)."""
+    dot = np.sum(points * normals, axis=1, keepdims=True)
+    sign = -np.sign(dot) if positive else np.sign(dot)
+    sign[sign == 0] = 1.0
+    return normals * sign

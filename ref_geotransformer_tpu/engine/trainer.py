@@ -1,0 +1,132 @@
+"""Epoch-based trainer with the reference's hook surface.
+
+Ref parity: engine/epoch_based_trainer.py:16-181 + base_trainer.py:32-276 —
+template-method loop (before/after epoch/step hooks), SummaryBoard logging
+every `log_steps`, per-epoch snapshot + rolling resume snapshot, validation
+epoch, LR schedule stepping. Differences by design: the train step is one
+jitted SPMD program (grad all-reduce included), so there is no DDP wrapper,
+no NaN-check-and-ipdb (non-finite updates are skipped inside the optimizer,
+engine/state.py), and no per-iter cache clearing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ref_geotransformer_tpu.engine.checkpoint import CheckpointManager
+from ref_geotransformer_tpu.engine.steps import make_eval_step, make_train_step
+from ref_geotransformer_tpu.utils.common import get_log_string
+from ref_geotransformer_tpu.utils.logger import Logger
+from ref_geotransformer_tpu.utils.summary_board import SummaryBoard
+from ref_geotransformer_tpu.utils.timer import Timer
+
+
+class EpochBasedTrainer:
+    def __init__(
+        self,
+        cfg,
+        model,
+        state,
+        lr_schedule,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        mesh=None,
+        snapshot_dir: str = "snapshots",
+        log_file: Optional[str] = None,
+        log_steps: int = 10,
+        seed: int = 7351,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.lr_schedule = lr_schedule
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        self.max_epoch = cfg.optim.max_epoch
+        self.log_steps = log_steps
+        self.epoch = 0
+        self.iteration = 0
+
+        self.logger = Logger(log_file=log_file)
+        self.summary_board = SummaryBoard(last_n=log_steps, adaptive=True)
+        self.timer = Timer()
+        self.ckpt = CheckpointManager(snapshot_dir)
+        self.rng = jax.random.key(seed)
+
+        self.train_step = make_train_step(model, cfg, mesh=mesh)
+        self.eval_step = make_eval_step(model, cfg, mesh=mesh)
+
+        # hook surface (epoch_based_trainer.py:39-70)
+        self.before_train_hooks: list = []
+        self.after_train_hooks: list = []
+        self.before_epoch_hooks: list = []
+        self.after_epoch_hooks: list = []
+        self.before_step_hooks: list = []
+        self.after_step_hooks: list = []
+
+    # -- resume ----------------------------------------------------------
+    def maybe_resume(self, resume: bool = False) -> None:
+        if resume and self.ckpt.has_snapshot():
+            self.state, self.epoch, self.iteration = self.ckpt.load_snapshot(self.state)
+            self.logger.info(f"Resumed from snapshot at epoch {self.epoch}, iteration {self.iteration}.")
+
+    # -- loops -----------------------------------------------------------
+    def train_epoch(self) -> None:
+        for hook in self.before_epoch_hooks:
+            hook(self)
+        self.timer.record()
+        for batch in self.train_loader:
+            self.timer.add_prepare_time()
+            for hook in self.before_step_hooks:
+                hook(self, batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, losses = self.train_step(self.state, batch, step_rng)
+            losses = jax.device_get(losses)
+            self.timer.add_process_time()
+            self.iteration += 1
+            self.summary_board.update_from_result_dict(losses)
+            for hook in self.after_step_hooks:
+                hook(self, losses)
+            if self.iteration % self.log_steps == 0:
+                lr = float(self.lr_schedule(int(self.state.step)))
+                message = get_log_string(
+                    self.summary_board.summary(),
+                    epoch=self.epoch,
+                    max_epoch=self.max_epoch,
+                    iteration=self.iteration,
+                    lr=lr,
+                    timer=self.timer,
+                )
+                self.logger.info(message)
+            self.timer.record()
+        for hook in self.after_epoch_hooks:
+            hook(self)
+
+    def inference_epoch(self) -> dict:
+        if self.val_loader is None:
+            return {}
+        board = SummaryBoard(adaptive=True)
+        for batch in self.val_loader:
+            metrics = jax.device_get(self.eval_step(self.state, batch))
+            board.update_from_result_dict(metrics)
+        summary = board.summary()
+        self.logger.info("[Val] " + get_log_string(summary, epoch=self.epoch))
+        return summary
+
+    def run(self, resume: bool = False) -> None:
+        self.maybe_resume(resume)
+        for hook in self.before_train_hooks:
+            hook(self)
+        while self.epoch < self.max_epoch:
+            self.epoch += 1
+            self.train_epoch()
+            self.ckpt.save_epoch(f"epoch-{self.epoch}", self.state.params, self.state.buffers)
+            self.ckpt.save_snapshot(self.state, self.epoch, self.iteration)
+            self.inference_epoch()
+        for hook in self.after_train_hooks:
+            hook(self)
