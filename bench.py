@@ -1,0 +1,102 @@
+"""Benchmark: end-to-end registration pairs/sec on one chip.
+
+Runs the full jitted pipeline — on-device pyramid build (voxel subsample +
+radius searches) + KPConv-FPN + geometric transformer + Sinkhorn + LGR — on
+the real 3DMatch demo pair (data/demo), steady-state, and prints ONE JSON
+line.
+
+Baseline: the reference publishes no pairs/sec. Estimate for the full
+single-GPU PyTorch pipeline (CPU collate with C++ voxel grid + KD-tree per
+pair, then GPU forward at batch 1): ~5 pairs/sec on the reference's
+environment (model forward ~100ms plus per-pair CPU precompute; GeoTransformer
+paper reports 0.296s/pair total pose time on 3DMatch with RANSAC-free LGR).
+We use BASELINE_PAIRS_PER_SEC = 5.0; vs_baseline = ours / baseline.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 5.0
+
+
+def main():
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "experiments", "geotransformer_3dmatch_stage4"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from config import make_cfg
+    from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
+    from ref_geotransformer_tpu.models import GeoTransformer
+
+    cfg = make_cfg(demo=True)
+    root = osp.dirname(osp.abspath(__file__))
+    ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
+    src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
+    gt = np.load(osp.join(root, "data", "demo", "gt.npy")).astype(np.float32)
+
+    cap0 = cfg.capacities.points[0]
+    ref_p, ref_m = pad_points(ref_raw, cap0)
+    src_p, src_m = pad_points(src_raw, cap0)
+
+    model = GeoTransformer(cfg)
+
+    @jax.jit
+    def full_pipeline(variables, ref_p, ref_m, src_p, src_m):
+        data = build_registration_inputs(
+            ref_p, ref_m, src_p, src_m,
+            cfg.backbone.num_stages,
+            cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius,
+            cfg.capacities.neighbor_limits,
+            cfg.capacities.points,
+            search_chunk=cfg.capacities.search_chunk,
+        )
+        return model.apply(variables, data)["estimated_transform"]
+
+    # init needs a built pyramid once (host-side jit is fine here)
+    init_data = jax.jit(
+        lambda a, b, c, d: build_registration_inputs(
+            a, b, c, d,
+            cfg.backbone.num_stages,
+            cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius,
+            cfg.capacities.neighbor_limits,
+            cfg.capacities.points,
+            search_chunk=cfg.capacities.search_chunk,
+        )
+    )(jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
+    variables = model.init({"params": jax.random.key(0), "target": jax.random.key(1)}, init_data)
+
+    args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
+    # warmup / compile
+    jax.block_until_ready(full_pipeline(*args))
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = full_pipeline(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    pairs_per_sec = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "3dmatch_demo_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,28 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ref_geotransformer_tpu.config import GeoTransformerConfig
+from ref_geotransformer_tpu.data.pyramid import build_registration_inputs
 from ref_geotransformer_tpu.models.losses import evaluate, overall_loss
+
+
+def ensure_pyramids(cfg: GeoTransformerConfig, pair: Dict) -> Dict:
+    """If `pair` is a raw padded pair (from data.loader), build the
+    multi-resolution pyramid on device; pass prebuilt inputs through."""
+    if "ref" in pair:
+        return pair
+    return build_registration_inputs(
+        pair["ref_points"],
+        pair["ref_masks"],
+        pair["src_points"],
+        pair["src_masks"],
+        cfg.backbone.num_stages,
+        cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius,
+        cfg.capacities.neighbor_limits,
+        cfg.capacities.points,
+        transform=pair.get("transform"),
+        search_chunk=cfg.capacities.search_chunk,
+    )
 
 
 def make_train_step(
@@ -34,7 +55,8 @@ def make_train_step(
     batch axis is sharded over 'data' and params are replicated.
     """
 
-    def loss_for_pair(params, buffers, data, rng):
+    def loss_for_pair(params, buffers, pair, rng):
+        data = ensure_pyramids(cfg, pair)
         out = model.apply(
             {"params": params, "buffers": buffers}, data, training=True, rngs={"target": rng}
         )
@@ -70,7 +92,8 @@ def make_train_step(
 def make_eval_step(model, cfg: GeoTransformerConfig, mesh: Optional[Mesh] = None) -> Callable:
     """Returns eval_step(state, batch) -> metric dict (per-batch means)."""
 
-    def eval_pair(params, buffers, data):
+    def eval_pair(params, buffers, pair):
+        data = ensure_pyramids(cfg, pair)
         out = model.apply({"params": params, "buffers": buffers}, data, training=False)
         metrics = evaluate(out, data["transform"], cfg.eval)
         losses = overall_loss(out, data["transform"], cfg.coarse_loss, cfg.fine_loss, cfg.loss)
@@ -88,11 +111,13 @@ def make_eval_step(model, cfg: GeoTransformerConfig, mesh: Optional[Mesh] = None
     return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=repl)
 
 
-def make_forward_fn(model) -> Callable:
-    """Plain jitted single-pair forward (inference path)."""
+def make_forward_fn(model, cfg: Optional[GeoTransformerConfig] = None) -> Callable:
+    """Plain jitted single-pair forward (inference path). With `cfg`, raw
+    padded pairs are accepted and the pyramid is built in-graph."""
 
     @jax.jit
-    def forward(params, buffers, data):
+    def forward(params, buffers, pair):
+        data = ensure_pyramids(cfg, pair) if cfg is not None else pair
         return model.apply({"params": params, "buffers": buffers}, data, training=False)
 
     return forward

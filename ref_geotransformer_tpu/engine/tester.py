@@ -37,7 +37,7 @@ class SingleTester:
         self.test_loader = test_loader
         self.after_test_step = after_test_step
         self.logger = Logger(log_file=log_file)
-        self.forward = make_forward_fn(model)
+        self.forward = make_forward_fn(model, cfg)
 
     @classmethod
     def from_snapshot(cls, cfg, model, state, snapshot_dir, snapshot_name, test_loader, **kwargs):
