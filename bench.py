@@ -72,7 +72,7 @@ def main():
             search_chunk=cfg.capacities.search_chunk,
         )
     )(jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
-    variables = model.init({"params": jax.random.key(0), "target": jax.random.key(1)}, init_data)
+    variables = jax.jit(model.init)({"params": jax.random.key(0), "target": jax.random.key(1)}, init_data)
 
     args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
     # warmup / compile

@@ -74,7 +74,7 @@ def main():
 
     model = GeoTransformer(cfg)
     t0 = time.time()
-    variables = model.init({"params": jax.random.key(0), "target": jax.random.key(1)}, data)
+    variables = jax.jit(model.init)({"params": jax.random.key(0), "target": jax.random.key(1)}, data)
     print(f"init: {time.time() - t0:.2f}s")
 
     params, buffers = variables["params"], variables["buffers"]

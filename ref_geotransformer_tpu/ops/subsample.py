@@ -5,14 +5,18 @@ TPU-native replacement for the reference's CPU C++ extension
 points are hashed to voxels of side `voxel_size` anchored at
 floor(min/voxel)*voxel and each occupied voxel emits the centroid of its
 points. The C++ version has data-dependent output size; here the output is a
-fixed-capacity `(capacity, 3)` buffer plus a validity mask, built from a
-lexicographic sort over integer voxel coordinates followed by a segment-mean
-— no hash table, no dynamic shapes, fully differentiable-free preprocessing
-that XLA pipelines onto the VPU.
+fixed-capacity `(capacity, 3)` buffer plus a validity mask.
+
+Implementation: a single fused int32 voxel key (ix + nx*(iy + ny*iz), the
+same linearization the C++ uses for its hash map), one argsort, and a
+segment-mean. A multi-key lexsort compiles ~20x slower on TPU and runs ~20x
+slower than the single-key sort, so the key is fused; this bounds the voxel
+grid to < 2^31 cells per cloud (~1290 cells per axis), far beyond every
+shipped config (3DMatch level-1: ~120/axis; KITTI level-1: ~270/axis).
 
 Voxel ordering: the C++ unordered_map iteration order is arbitrary; we emit
-voxels in lexicographic (z, y, x) order, which is deterministic. Downstream
-consumers (neighbor search, KPConv) are order-invariant.
+voxels in linearized-key order, which is deterministic. Downstream consumers
+(neighbor search, KPConv) are order-invariant.
 """
 
 from __future__ import annotations
@@ -22,7 +26,23 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+_SENTINEL_KEY = jnp.int32(2**31 - 1)
+
+
+def _voxel_keys(points: jnp.ndarray, masks: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """Linearized int32 voxel id per point; invalid points get a key that
+    sorts last."""
+    inf = jnp.asarray(jnp.inf, points.dtype)
+    valid_points = jnp.where(masks[:, None], points, inf)
+    min_corner = jnp.min(valid_points, axis=0)
+    # per-cloud origin: floor(min/voxel)*voxel (grid_subsampling_cpu.cpp:9-11)
+    origin = jnp.floor(min_corner / voxel_size) * voxel_size
+    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)  # (N, 3)
+    coords = jnp.where(masks[:, None], coords, 0)
+    max_c = jnp.max(coords, axis=0)
+    nx, ny = max_c[0] + 1, max_c[1] + 1
+    keys = coords[:, 0] + nx * (coords[:, 1] + ny * coords[:, 2])
+    return jnp.where(masks, keys, _SENTINEL_KEY)
 
 
 def grid_subsample(
@@ -39,40 +59,28 @@ def grid_subsample(
         voxel_size: voxel edge length.
         capacity: static output size. Must be >= the number of occupied
             voxels; surplus voxels beyond capacity are dropped (callers size
-            capacity from data statistics, like the reference calibrates
-            neighbor limits).
+            capacity from data statistics via data.calibration, like the
+            reference calibrates neighbor limits).
 
     Returns:
         s_points: (capacity, 3) float32 voxel centroids (zeros in padded slots).
         s_masks: (capacity,) bool validity mask.
     """
-    n = points.shape[0]
-    inf = jnp.asarray(jnp.inf, points.dtype)
-    valid_points = jnp.where(masks[:, None], points, inf)
-
-    # per-cloud origin: floor(min/voxel)*voxel (grid_subsampling_cpu.cpp:9-11)
-    min_corner = jnp.min(valid_points, axis=0)
-    origin = jnp.floor(min_corner / voxel_size) * voxel_size
-
-    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)  # (N, 3)
-    # push invalid points to a sentinel voxel that sorts last
-    coords = jnp.where(masks[:, None], coords, _BIG)
-
-    # lexicographic sort by (z, y, x): jnp.lexsort sorts by last key primarily
-    order = jnp.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
-    coords_sorted = coords[order]
+    keys = _voxel_keys(points, masks, voxel_size)
+    order = jnp.argsort(keys)
+    keys_sorted = keys[order]
     points_sorted = points[order]
     masks_sorted = masks[order]
 
-    # segment boundaries: first element or any coordinate change
-    prev = jnp.roll(coords_sorted, 1, axis=0)
-    is_new = jnp.any(coords_sorted != prev, axis=1)
-    is_new = is_new.at[0].set(True)
+    # segment boundaries: first element or any key change
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]]
+    )
     is_new = jnp.logical_and(is_new, masks_sorted)
 
     seg_ids = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,) in [-1, S)
-    seg_ids = jnp.where(masks_sorted, seg_ids, capacity)  # invalid -> overflow bin
-    seg_ids = jnp.minimum(seg_ids, capacity)  # voxels beyond capacity -> overflow bin
+    # invalid points and voxels beyond capacity go to the overflow bin
+    seg_ids = jnp.where(masks_sorted, jnp.minimum(seg_ids, capacity), capacity)
 
     weights = masks_sorted.astype(points.dtype)
     sums = jax.ops.segment_sum(
@@ -87,16 +95,8 @@ def grid_subsample(
 
 def count_voxels(points: jnp.ndarray, masks: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
     """Number of occupied voxels (for capacity calibration tooling)."""
-    inf = jnp.asarray(jnp.inf, points.dtype)
-    valid_points = jnp.where(masks[:, None], points, inf)
-    min_corner = jnp.min(valid_points, axis=0)
-    origin = jnp.floor(min_corner / voxel_size) * voxel_size
-    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
-    coords = jnp.where(masks[:, None], coords, _BIG)
-    order = jnp.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
-    coords_sorted = coords[order]
-    masks_sorted = masks[order]
-    prev = jnp.roll(coords_sorted, 1, axis=0)
-    is_new = jnp.any(coords_sorted != prev, axis=1)
-    is_new = is_new.at[0].set(True)
-    return jnp.sum(jnp.logical_and(is_new, masks_sorted).astype(jnp.int32))
+    keys = _voxel_keys(points, masks, voxel_size)
+    keys_sorted = jnp.sort(keys)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]])
+    is_new = jnp.logical_and(is_new, keys_sorted != _SENTINEL_KEY)
+    return jnp.sum(is_new.astype(jnp.int32))
