@@ -1,0 +1,100 @@
+"""Offline eval protocol tests: log/info parsers, covariance error, numpy
+procrustes + RANSAC."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from ref_geotransformer_tpu.data.benchmark_3dmatch import (
+    compute_transform_error,
+    evaluate_registration_one_scene,
+    read_info_file,
+    read_log_file,
+    write_log_file,
+    _rotation_to_quaternion,
+)
+from ref_geotransformer_tpu.utils.registration import (
+    apply_transform_np,
+    compute_inlier_ratio,
+    compute_registration_error,
+    ransac_registration_np,
+    weighted_procrustes_np,
+)
+
+rng = np.random.default_rng(11)
+
+
+def random_transform(seed=0):
+    r = Rotation.random(random_state=seed).as_matrix()
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = r
+    t[:3, 3] = rng.uniform(-1, 1, 3)
+    return t
+
+
+def test_quaternion_roundtrip():
+    for seed in range(5):
+        r = Rotation.random(random_state=seed)
+        q = _rotation_to_quaternion(r.as_matrix())
+        q_scipy = r.as_quat()  # (x, y, z, w)
+        expected = np.array([q_scipy[3], q_scipy[0], q_scipy[1], q_scipy[2]])
+        if expected[0] < 0:
+            expected = -expected
+        np.testing.assert_allclose(q, expected, atol=1e-6)
+
+
+def test_procrustes_recovers_transform():
+    t = random_transform(1)
+    src = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    ref = apply_transform_np(src, t)
+    est = weighted_procrustes_np(src, ref)
+    np.testing.assert_allclose(est, t, atol=1e-4)
+    rre, rte = compute_registration_error(t, est)
+    assert rre < 0.01 and rte < 1e-4
+
+
+def test_ransac_with_outliers():
+    t = random_transform(2)
+    src = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    ref = apply_transform_np(src, t)
+    # corrupt 40% of correspondences
+    n_bad = 80
+    ref_bad = ref.copy()
+    ref_bad[:n_bad] += rng.uniform(0.5, 1.0, (n_bad, 3))
+    est = ransac_registration_np(ref_bad, src, distance_threshold=0.05, num_iterations=200)
+    rre, rte = compute_registration_error(t, est)
+    assert rre < 0.5 and rte < 0.01
+    ir = compute_inlier_ratio(ref_bad, src, est, 0.05)
+    assert ir > 0.55
+
+
+def test_log_roundtrip_and_scene_eval(tmp_path):
+    t_gt = random_transform(3)
+    pairs = [
+        {"test_pair": [0, 3], "num_fragments": 10, "transform": t_gt},
+        {"test_pair": [1, 2], "num_fragments": 10, "transform": np.eye(4, dtype=np.float32)},  # consecutive
+    ]
+    gt_log = tmp_path / "gt.log"
+    write_log_file(str(gt_log), pairs)
+    parsed = read_log_file(str(gt_log))
+    assert parsed[0]["test_pair"] == [0, 3]
+    np.testing.assert_allclose(parsed[0]["transform"], t_gt, atol=1e-5)
+
+    # info file with identity-ish covariance
+    cov = np.eye(6, dtype=np.float32)
+    with open(tmp_path / "gt.info", "w") as f:
+        for pair in pairs:
+            f.write(f"{pair['test_pair'][0]}\t{pair['test_pair'][1]}\t10\n")
+            for row in cov:
+                f.write("\t".join(str(x) for x in row) + "\n")
+    infos = read_info_file(str(tmp_path / "gt.info"))
+    assert infos[0]["covariance"].shape == (6, 6)
+
+    # perfect estimate -> error 0, recall 1
+    assert compute_transform_error(t_gt, cov, t_gt) == pytest.approx(0.0, abs=1e-8)
+    write_log_file(str(tmp_path / "est.log"), [pairs[0]])
+    result = evaluate_registration_one_scene(
+        str(gt_log), str(tmp_path / "gt.info"), str(tmp_path / "est.log"), positive_threshold=0.2
+    )
+    assert result["recall"] == 1.0 and result["precision"] == 1.0
+    assert result["num_gt_pairs"] == 1  # consecutive pair excluded
