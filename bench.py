@@ -33,7 +33,7 @@ def main():
 
     from config import make_cfg
     from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
-    from ref_geotransformer_tpu.models import GeoTransformer
+    from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
 
     cfg = make_cfg(demo=True)
     root = osp.dirname(osp.abspath(__file__))
@@ -60,19 +60,7 @@ def main():
         )
         return model.apply(variables, data)["estimated_transform"]
 
-    # init needs a built pyramid once (host-side jit is fine here)
-    init_data = jax.jit(
-        lambda a, b, c, d: build_registration_inputs(
-            a, b, c, d,
-            cfg.backbone.num_stages,
-            cfg.backbone.init_voxel_size,
-            cfg.backbone.init_radius,
-            cfg.capacities.neighbor_limits,
-            cfg.capacities.points,
-            search_chunk=cfg.capacities.search_chunk,
-        )
-    )(jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
-    variables = jax.jit(model.init)({"params": jax.random.key(0), "target": jax.random.key(1)}, init_data)
+    variables = init_model_variables(model, cfg, jax.random.key(0))
 
     args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
     # warmup / compile

@@ -42,7 +42,7 @@ def main():
 
     from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
     from ref_geotransformer_tpu.engine.checkpoint import CheckpointManager
-    from ref_geotransformer_tpu.models import GeoTransformer
+    from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
     from ref_geotransformer_tpu.models.losses import evaluate
 
     cfg = make_cfg(demo=True)
@@ -74,7 +74,7 @@ def main():
 
     model = GeoTransformer(cfg)
     t0 = time.time()
-    variables = jax.jit(model.init)({"params": jax.random.key(0), "target": jax.random.key(1)}, data)
+    variables = init_model_variables(model, cfg, jax.random.key(0))
     print(f"init: {time.time() - t0:.2f}s")
 
     params, buffers = variables["params"], variables["buffers"]

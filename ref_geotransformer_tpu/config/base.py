@@ -130,6 +130,9 @@ class EvalConfig:
     rmse_threshold: float = 0.2
     rre_threshold: float = 15.0
     rte_threshold: float = 0.3
+    # RR acceptance: 'rmse' (3DMatch, loss.py:133-145) or 'rre_rte' (KITTI/
+    # ModelNet: RRE < rre_threshold AND RTE < rte_threshold)
+    recall_criterion: str = "rmse"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,106 @@
+"""Shared experiment CLI drivers (the reference duplicates trainval/test
+boilerplate per experiment dir; here it is factored once).
+
+Ref parity: the argparse surface of engine/base_trainer.py:21-29 and
+base_tester.py:15-21 (--resume, --snapshot/--test_epoch, batch/device knobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+from typing import Callable, Optional
+
+
+def trainval_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--resume", action="store_true", help="resume from the rolling snapshot")
+    parser.add_argument("--batch_size", type=int, default=None, help="global pairs per step")
+    parser.add_argument("--num_devices", type=int, default=None, help="data-parallel devices")
+    parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--max_epoch", type=int, default=None, help="override cfg.optim.max_epoch")
+    return parser
+
+
+def run_trainval(
+    cfg,
+    train_loader,
+    valid_loader,
+    snapshot_dir: str,
+    log_dir: str,
+    args,
+) -> None:
+    import jax
+
+    from ref_geotransformer_tpu.engine import EpochBasedTrainer, create_train_state
+    from ref_geotransformer_tpu.engine.steps import ensure_pyramids
+    from ref_geotransformer_tpu.models import GeoTransformer
+    from ref_geotransformer_tpu.parallel import make_mesh
+    from ref_geotransformer_tpu.utils.common import ensure_dir
+
+    ensure_dir(snapshot_dir)
+    ensure_dir(log_dir)
+    if args.max_epoch is not None:
+        cfg = cfg.replace(optim=type(cfg.optim)(**{**cfg.optim.__dict__, "max_epoch": args.max_epoch}))
+
+    num_devices = args.num_devices or jax.device_count()
+    mesh = make_mesh(num_devices=num_devices) if num_devices > 1 else None
+
+    model = GeoTransformer(cfg)
+    example = next(iter(train_loader))
+    example_pair = jax.tree_util.tree_map(lambda x: x[0], example)
+    state, schedule = create_train_state(
+        model,
+        ensure_pyramids(cfg, example_pair),
+        cfg.optim,
+        steps_per_epoch=len(train_loader),
+        rng=jax.random.key(cfg.seed),
+        lr_scale=float(num_devices),  # reference's LR x world_size rule
+    )
+    trainer = EpochBasedTrainer(
+        cfg,
+        model,
+        state,
+        schedule,
+        train_loader,
+        valid_loader,
+        mesh=mesh,
+        snapshot_dir=snapshot_dir,
+        log_file=osp.join(log_dir, "train.log"),
+        log_steps=args.log_steps,
+        seed=cfg.seed,
+    )
+    trainer.run(resume=args.resume)
+
+
+def run_test(
+    cfg,
+    loader,
+    snapshot_dir: str,
+    snapshot_name: str,
+    log_dir: str,
+    after_test_step: Optional[Callable] = None,
+    log_name: str = "test",
+) -> dict:
+    import jax
+
+    from ref_geotransformer_tpu.engine import SingleTester, create_train_state
+    from ref_geotransformer_tpu.engine.steps import ensure_pyramids
+    from ref_geotransformer_tpu.models import GeoTransformer
+    from ref_geotransformer_tpu.utils.common import ensure_dir
+
+    ensure_dir(log_dir)
+    model = GeoTransformer(cfg)
+    pair0, _ = next(iter(loader.iter_single()))
+    state, _ = create_train_state(model, ensure_pyramids(cfg, pair0), cfg.optim, steps_per_epoch=1)
+    tester = SingleTester.from_snapshot(
+        cfg,
+        model,
+        state,
+        snapshot_dir,
+        snapshot_name,
+        loader.iter_single(),
+        after_test_step=after_test_step,
+        log_file=osp.join(log_dir, f"{log_name}.log"),
+    )
+    return tester.run()

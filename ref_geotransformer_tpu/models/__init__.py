@@ -36,7 +36,20 @@ from ref_geotransformer_tpu.models.registration import (
     local_to_global_registration,
     compute_correspondence_matrix,
 )
-from ref_geotransformer_tpu.models.geotransformer import GeoTransformer, GeometricTransformer, create_model
+from ref_geotransformer_tpu.models.geotransformer import (
+    GeoTransformer,
+    GeometricTransformer,
+    create_model,
+    init_model_variables,
+)
+from ref_geotransformer_tpu.models.cordi import (
+    Cordi,
+    VarianceSchedule,
+    DenoisingTransformer,
+    SinusoidalTimeEmbedding,
+    cordi_downsample,
+    get_corr_from_matrix_topk,
+)
 from ref_geotransformer_tpu.models.losses import (
     circle_loss,
     weighted_circle_loss,

@@ -276,3 +276,65 @@ class GeoTransformer(nn.Module):
 
 def create_model(cfg: GeoTransformerConfig) -> GeoTransformer:
     return GeoTransformer(cfg)
+
+
+def init_model_variables(model: GeoTransformer, cfg: GeoTransformerConfig, rng: jax.Array):
+    """Initialize params/buffers on a MINIMAL synthetic pair.
+
+    Parameter shapes depend only on channel dims, never on point capacities,
+    so initializing at tiny capacities avoids compiling the full-scale graph
+    twice (init + forward) — full-scale jitted init costs minutes on TPU.
+    The tiny capacities still satisfy every static top-k requirement
+    (patch K, angle_k, num_correspondences <= M*N).
+    """
+    import numpy as np
+
+    from ref_geotransformer_tpu.config import CapacityConfig
+    from ref_geotransformer_tpu.data.pyramid import build_registration_inputs
+
+    k = cfg.model.num_points_in_patch
+    node_cap = max(32, int(np.ceil(np.sqrt(cfg.coarse_matching.num_correspondences))) + 1)
+    fine_cap = max(2 * k, 2 * node_cap)
+    caps = []
+    for i in range(cfg.backbone.num_stages):
+        if i == 0:
+            caps.append(max(4 * fine_cap, 256))
+        elif i == cfg.backbone.fine_level:
+            caps.append(fine_cap)
+        elif i == cfg.backbone.num_stages - 1:
+            caps.append(node_cap)
+        else:
+            caps.append(max(fine_cap, node_cap))
+    caps = tuple(caps)
+
+    tiny_cfg = cfg.replace(
+        capacities=CapacityConfig(
+            points=caps,
+            neighbor_limits=tuple(min(nl, c) for nl, c in zip(cfg.capacities.neighbor_limits, caps)),
+            gt_candidates=min(cfg.capacities.gt_candidates, node_cap * node_cap),
+            correspondence_limit=min(cfg.capacities.correspondence_limit, 1024),
+            search_chunk=min(cfg.capacities.search_chunk, 256),
+        )
+    )
+    tiny_model = GeoTransformer(tiny_cfg)
+
+    np_rng = np.random.default_rng(0)
+    pts = np_rng.uniform(-1.0, 1.0, (caps[0], 3)).astype(np.float32)
+    masks = jnp.ones((caps[0],), bool)
+    data = jax.jit(
+        lambda p, m: build_registration_inputs(
+            p,
+            m,
+            p,
+            m,
+            cfg.backbone.num_stages,
+            cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius,
+            tiny_cfg.capacities.neighbor_limits,
+            caps,
+            transform=jnp.eye(4),
+            search_chunk=tiny_cfg.capacities.search_chunk,
+        )
+    )(jnp.asarray(pts), masks)
+    p_rng, t_rng = jax.random.split(rng)
+    return jax.jit(tiny_model.init)({"params": p_rng, "target": t_rng}, data)

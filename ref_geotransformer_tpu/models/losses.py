@@ -174,6 +174,9 @@ def evaluate(output: Dict, transform: jnp.ndarray, cfg: EvalConfig) -> Dict[str,
     realigned = apply_transform(src_points, realignment)
     resid = jnp.linalg.norm(realigned - src_points, axis=-1)
     rmse = _masked_mean(resid, src_masks)
-    recall = (rmse < cfg.rmse_threshold).astype(jnp.float32)
+    if cfg.recall_criterion == "rre_rte":
+        recall = jnp.logical_and(rre < cfg.rre_threshold, rte < cfg.rte_threshold).astype(jnp.float32)
+    else:
+        recall = (rmse < cfg.rmse_threshold).astype(jnp.float32)
 
     return {"PIR": pir, "IR": ir, "RRE": rre, "RTE": rte, "RMSE": rmse, "RR": recall}
