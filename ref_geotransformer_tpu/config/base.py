@@ -150,6 +150,36 @@ class OptimConfig:
     weight_decay: float = 1e-6
     max_epoch: int = 40
     grad_acc_steps: int = 1
+    # iteration-based schedule (fork's encoder/DDPM training,
+    # modelnet config.py:86-94): warmup-cosine over max_iteration steps
+    max_iteration: int = 100000
+    snapshot_steps: int = 2000
+    warmup_steps: int = 10000
+    eta_init: float = 0.1
+    eta_min: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMConfig:
+    """Cordi diffusion config (modelnet config.py:148-173)."""
+
+    batch_size: int = 1
+    num_steps: int = 100
+    beta_1: float = 1e-4
+    beta_T: float = 0.02
+    sched_mode: str = "linear"
+    ref_sample_num: int = 40
+    src_sample_num: int = 80
+    sample_topk: int = 32
+    sample_topk_1_2: int = 16
+    sample_topk_1_4: int = 8
+    time_emb_dim: int = 512
+    # denoiser transformer (modelnet config.py ddpm_transformer block)
+    n_layers: int = 8
+    n_heads: int = 8
+    query_dimensions: int = 64
+    feed_forward_dimensions: int = 2048
+    activation: str = "gelu"
 
 
 @dataclasses.dataclass(frozen=True)
