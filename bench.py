@@ -63,14 +63,15 @@ def main():
     variables = init_model_variables(model, cfg, jax.random.key(0))
 
     args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
-    # warmup / compile
-    jax.block_until_ready(full_pipeline(*args))
+    # warmup / compile (device_get forces a real round-trip; block_until_ready
+    # alone is unreliable over the axon tunnel)
+    jax.device_get(full_pipeline(*args))
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
         out = full_pipeline(*args)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     dt = (time.time() - t0) / iters
     pairs_per_sec = 1.0 / dt
 

@@ -96,7 +96,7 @@ def main():
         t0 = time.time()
         for _ in range(args.iters):
             out = forward(params, buffers, data)
-        jax.block_until_ready(out)
+        jax.device_get(out["estimated_transform"])  # force a real round-trip
         dt = (time.time() - t0) / args.iters
         print(f"steady-state forward: {dt * 1e3:.1f} ms/pair ({1.0 / dt:.2f} pairs/s)")
 

@@ -24,9 +24,28 @@ from ref_geotransformer_tpu.models.attention import (
     RPEAttentionLayer,
     TransformerLayer,
     RPETransformerLayer,
+    PETransformerLayer,
     TransformerEncoderLayer,
+    TransformerDecoderLayer,
+    TransformerEncoder,
+    TransformerDecoder,
     RPEConditionalTransformer,
+    PEConditionalTransformer,
+    LRPEConditionalTransformer,
     VanillaConditionalTransformer,
+)
+from ref_geotransformer_tpu.models.correspondence import (
+    extract_correspondences_from_scores,
+    extract_correspondences_topk,
+    node_correspondences_to_dense,
+    patch_overlap_ratios,
+    point_matching,
+)
+from ref_geotransformer_tpu.models.factory import (
+    build_act_layer,
+    build_norm_layer,
+    build_dropout_layer,
+    ConvBlock1d,
 )
 from ref_geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
 from ref_geotransformer_tpu.models.matching import superpoint_matching, superpoint_target_sample

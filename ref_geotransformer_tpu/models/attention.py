@@ -63,8 +63,18 @@ class MultiHeadAttention(nn.Module):
 
 
 class RPEMultiHeadAttention(nn.Module):
-    """MHA with projected pairwise relative embedding term
-    (rpe_transformer.py:18-75): score = (q.k + q.proj_p(embed)) / sqrt(d)."""
+    """MHA with pairwise relative-embedding score term
+    (rpe_transformer.py:18-75): score = (q.k + q.proj_p(embed)) / sqrt(d).
+
+    TPU optimization (exact, not approximate): the reference projects the
+    (B, N, M, C) embedding tensor through proj_p per layer — an O(N^2 C^2)
+    GEMM (~68 GFLOP at N=1024, C=256) producing a (B, H, N, M, c) tensor.
+    Since q . (W_p e + b_p) == (W_p^T q) . e + q . b_p, we instead pull W_p
+    onto q (O(N C^2)) and contract the projected queries against the raw
+    embedding (O(N^2 C)) — ~250x fewer FLOPs for this term and no 5-D
+    intermediate. Parameters keep nn.Dense layout ('proj_p': kernel (C, C),
+    bias (C,)) so checkpoints map 1:1.
+    """
 
     d_model: int
     num_heads: int
@@ -74,15 +84,25 @@ class RPEMultiHeadAttention(nn.Module):
                  attention_factors=None):
         h = self.num_heads
         d = self.d_model // h
-        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), h)
+        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), h)  # (B, H, N, c)
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), h)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), h)
-        p = nn.Dense(self.d_model, name="proj_p")(embed_qk)  # (B, N, M, C)
-        b, n, m, _ = p.shape
-        p = p.reshape(b, n, m, h, d).transpose(0, 3, 1, 2, 4)  # (B, H, N, M, c)
+
+        p_kernel = self.param(
+            "proj_p_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model)
+        )  # maps embed (C) -> projected (C); column blocks of size c per head
+        p_bias = self.param("proj_p_bias", nn.initializers.zeros, (self.d_model,))
+
+        # W_p^T q: (B, H, N, c) x (C, H, c) -> (B, H, N, C)
+        w = p_kernel.reshape(self.d_model, h, d)
+        qp = jnp.einsum("bhnc,dhc->bhnd", q, w, preferred_element_type=jnp.float32)
+        # q . b_p per head: (B, H, N)
+        qb = jnp.einsum("bhnc,hc->bhn", q, p_bias.reshape(h, d))
 
         scores_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32)
-        scores_p = jnp.einsum("bhnc,bhnmc->bhnm", q, p, preferred_element_type=jnp.float32)
+        scores_p = jnp.einsum(
+            "bhnd,bnmd->bhnm", qp, embed_qk, preferred_element_type=jnp.float32
+        ) + qb[..., None]
         scores = (scores_e + scores_p) / d**0.5
         return _finish_attention(scores, v, key_weights, key_masks, attention_factors)
 
@@ -188,6 +208,24 @@ class RPETransformerLayer(nn.Module):
         return AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden), scores
 
 
+class PETransformerLayer(nn.Module):
+    """Absolute-PE self-attention layer + FFN (pe_transformer.py:75-132)."""
+
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states, memory_position_states,
+                 memory_weights=None, memory_masks=None, attention_factors=None):
+        hidden, scores = PEMultiHeadAttention(self.d_model, self.num_heads, name="attention")(
+            input_states, memory_states, memory_states, position_states, memory_position_states,
+            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors)
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        hidden = nn.LayerNorm(name="norm")(hidden + input_states)
+        return AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden), scores
+
+
 class TransformerEncoderLayer(nn.Module):
     """Self-attention encoder layer (vanilla_transformer.py:149-171)."""
 
@@ -200,6 +238,54 @@ class TransformerEncoderLayer(nn.Module):
         out, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn, name="layer")(
             feats, feats, memory_masks=masks)
         return out
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self + cross attention decoder layer (vanilla_transformer.py:160-183)."""
+
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None):
+        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                      name="self_attention")(q_feats, q_feats, memory_masks=q_masks)
+        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                      name="cross_attention")(q_feats, s_feats, memory_masks=s_masks)
+        return q_feats
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers (vanilla_transformer.py:186-193)."""
+
+    num_layers: int
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, feats, masks=None):
+        for i in range(self.num_layers):
+            feats = TransformerEncoderLayer(self.d_model, self.num_heads, self.activation_fn,
+                                            name=f"layers_{i}")(feats, masks)
+        return feats
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of decoder layers (vanilla_transformer.py:196-201)."""
+
+    num_layers: int
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None):
+        for i in range(self.num_layers):
+            q_feats = TransformerDecoderLayer(self.d_model, self.num_heads, self.activation_fn,
+                                              name=f"layers_{i}")(q_feats, s_feats, q_masks, s_masks)
+        return q_feats
 
 
 class RPEConditionalTransformer(nn.Module):
@@ -231,6 +317,63 @@ class RPEConditionalTransformer(nn.Module):
                 feats0, feats1 = new_feats0, new_feats1
             else:
                 raise ValueError(f'Unsupported block type "{block}".')
+        return feats0, feats1
+
+
+class PEConditionalTransformer(nn.Module):
+    """Self blocks with absolute PE, cross blocks vanilla
+    (conditional_transformer.py:42-70)."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None, masks1=None):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = PETransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                           name=f"layers_{i}")
+                feats0, _ = layer(feats0, feats0, embeddings0, embeddings0, memory_masks=masks0)
+                feats1, _ = layer(feats1, feats1, embeddings1, embeddings1, memory_masks=masks1)
+            else:
+                layer = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                         name=f"layers_{i}")
+                feats0, _ = layer(feats0, feats1, memory_masks=masks1)
+                feats1, _ = layer(feats1, feats0, memory_masks=masks0)
+        return feats0, feats1
+
+
+class LRPEConditionalTransformer(nn.Module):
+    """Self blocks with learnable relative PE over quantized indices, cross
+    vanilla (conditional_transformer.py:120-161, lrpe_transformer.py:19-148).
+    `emb_indices` are integer relative-position bins (B, N, N)."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, feats0, feats1, emb_indices0, emb_indices1, masks0=None, masks1=None):
+        from ref_geotransformer_tpu.models.embedding import LearnablePositionalEmbedding
+
+        embed = LearnablePositionalEmbedding(self.num_embeddings, self.d_model, name="embedding")
+        e0 = embed(emb_indices0)
+        e1 = embed(emb_indices1)
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = RPETransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                            name=f"layers_{i}")
+                feats0, _ = layer(feats0, feats0, e0, memory_masks=masks0)
+                feats1, _ = layer(feats1, feats1, e1, memory_masks=masks1)
+            else:
+                layer = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
+                                         name=f"layers_{i}")
+                feats0, _ = layer(feats0, feats1, memory_masks=masks1)
+                feats1, _ = layer(feats1, feats0, memory_masks=masks0)
         return feats0, feats1
 
 

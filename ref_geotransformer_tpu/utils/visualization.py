@@ -1,0 +1,80 @@
+"""Visualization / export utilities, dependency-light (no open3d).
+
+Ref parity roles: utils/visualization.py:14-158 (point-to-node coloring,
+feature t-SNE coloring, obj/ply writers) and utils/open3d.py:39-130 (pcd /
+correspondence-lineset builders — emitted here as PLY files any viewer
+opens)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def write_ply(path: str, points: np.ndarray, colors: Optional[np.ndarray] = None) -> None:
+    """ASCII PLY point-cloud writer."""
+    n = points.shape[0]
+    has_color = colors is not None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_color:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        if has_color:
+            c = np.clip(colors * 255 if colors.max() <= 1.0 else colors, 0, 255).astype(np.uint8)
+            for p, cc in zip(points, c):
+                f.write(f"{p[0]} {p[1]} {p[2]} {cc[0]} {cc[1]} {cc[2]}\n")
+        else:
+            for p in points:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def write_obj_lines(path: str, ref_points: np.ndarray, src_points: np.ndarray) -> None:
+    """Correspondence line set as OBJ (ref_points[i] <-> src_points[i])."""
+    n = ref_points.shape[0]
+    with open(path, "w") as f:
+        for p in ref_points:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for p in src_points:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for i in range(n):
+            f.write(f"l {i + 1} {i + n + 1}\n")
+
+
+def node_color_map(point_to_node: np.ndarray, num_nodes: int, seed: int = 0) -> np.ndarray:
+    """Random color per owning node for point-to-node partition viz
+    (visualization.py:14-45 role)."""
+    rng = np.random.default_rng(seed)
+    palette = rng.random((num_nodes + 1, 3))
+    return palette[np.minimum(point_to_node, num_nodes)]
+
+
+def feature_tsne_colors(features: np.ndarray, seed: int = 0) -> np.ndarray:
+    """3-D embedding of high-dim features -> RGB (visualization.py:48-90 role;
+    PCA fallback keeps this dependency-light and deterministic)."""
+    x = features - features.mean(0, keepdims=True)
+    # PCA to 3 dims
+    u, s, vt = np.linalg.svd(x, full_matrices=False)
+    emb = x @ vt[:3].T
+    emb = emb - emb.min(0, keepdims=True)
+    emb = emb / np.maximum(emb.max(0, keepdims=True), 1e-9)
+    return emb
+
+
+def dump_registration_ply(
+    path_prefix: str,
+    ref_points: np.ndarray,
+    src_points: np.ndarray,
+    estimated_transform: np.ndarray,
+) -> None:
+    """Dump before/after clouds: ref (blue), src (orange), aligned src (green)."""
+    blue = np.tile([0.2, 0.4, 1.0], (ref_points.shape[0], 1))
+    orange = np.tile([1.0, 0.6, 0.1], (src_points.shape[0], 1))
+    green = np.tile([0.2, 0.9, 0.3], (src_points.shape[0], 1))
+    aligned = src_points @ estimated_transform[:3, :3].T + estimated_transform[:3, 3]
+    write_ply(path_prefix + "_ref.ply", ref_points, blue)
+    write_ply(path_prefix + "_src.ply", src_points, orange)
+    write_ply(path_prefix + "_src_aligned.ply", aligned, green)
