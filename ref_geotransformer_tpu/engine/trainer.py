@@ -39,6 +39,8 @@ class EpochBasedTrainer:
         log_file: Optional[str] = None,
         log_steps: int = 10,
         seed: int = 7351,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
     ):
         self.cfg = cfg
         self.model = model
@@ -57,6 +59,11 @@ class EpochBasedTrainer:
         self.timer = Timer()
         self.ckpt = CheckpointManager(snapshot_dir)
         self.rng = jax.random.key(seed)
+        # device tracing (the reference only has wall-clock Timers,
+        # utils/timer.py:4-46; here a window of steps can emit a full
+        # jax.profiler trace viewable in XProf/TensorBoard)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         self.train_step = make_train_step(model, cfg, mesh=mesh)
         self.eval_step = make_eval_step(model, cfg, mesh=mesh)
@@ -84,6 +91,11 @@ class EpochBasedTrainer:
             self.timer.add_prepare_time()
             for hook in self.before_step_hooks:
                 hook(self, batch)
+            if self.profile_dir is not None and self.iteration == self.profile_steps[0]:
+                jax.profiler.start_trace(self.profile_dir)
+            if self.profile_dir is not None and self.iteration == self.profile_steps[1]:
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {self.profile_dir}")
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, losses = self.train_step(self.state, batch, step_rng)
             losses = jax.device_get(losses)

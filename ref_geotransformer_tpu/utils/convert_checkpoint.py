@@ -1,0 +1,127 @@
+"""Convert reference PyTorch checkpoints (.pth.tar state dicts) into this
+framework's flax params/buffers.
+
+The reference's module tree maps 1:1 onto ours (SURVEY.md §2.14); weight
+layout differences:
+  * torch Linear weight (out, in)  -> flax Dense kernel (in, out): transpose.
+  * KPConv weights (K, Cin, Cout)  -> identical layout.
+  * KPConv kernel_points buffer    -> 'buffers' collection (the reference
+    randomizes dispositions per load, kernel_points.py:428-453, so the
+    checkpoint's buffer is authoritative for parity).
+  * GroupNorm weight/bias          -> MaskedGroupNorm scale/bias.
+  * RPE proj_p Linear              -> proj_p_kernel/proj_p_bias (the q-side
+    projection rewrite keeps the same (C, C) kernel, models/attention.py).
+  * optimal_transport.alpha        -> scalar param.
+
+Names: the reference prefixes with 'backbone.', 'transformer.', etc. and may
+carry a DDP 'module.' prefix (engine/base_trainer.py:120-121).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def torch_key_to_flax(key: str, value: np.ndarray):
+    """Map one torch state-dict entry to (collection, path, array) or None to
+    skip. `value` is a numpy array."""
+    if key.startswith("module."):
+        key = key[len("module."):]
+    parts = key.split(".")
+
+    # KPConv buffers
+    if parts[-1] == "kernel_points":
+        return "buffers", tuple(parts[:-1]) + ("kernel_points",), value
+
+    # sinkhorn alpha
+    if parts[-1] == "alpha":
+        return "params", tuple(parts[:-1]) + ("alpha",), value
+
+    # KPConv conv weights keep layout
+    if parts[-1] == "weights":
+        return "params", tuple(parts[:-1]) + ("weights",), value
+
+    # module lists: "layers.N" -> "layers_N" (one flax scope per layer)
+    renamed = []
+    for p in parts:
+        if renamed and renamed[-1] == "layers" and p.isdigit():
+            renamed[-1] = f"layers_{p}"
+        else:
+            renamed.append(p)
+    parts = renamed
+
+    name = parts[-1]
+    module_path = tuple(parts[:-1])
+
+    # RPE pairwise projection -> q-side rewrite params
+    if len(module_path) > 0 and module_path[-1] == "proj_p":
+        if name == "weight":
+            return "params", module_path[:-1] + ("proj_p_kernel",), value.T
+        if name == "bias":
+            return "params", module_path[:-1] + ("proj_p_bias",), value
+
+    # GroupNorm (reference nests nn.GroupNorm under .norm) / LayerNorm
+    if name == "weight" and len(module_path) > 0 and module_path[-1] == "norm" and value.ndim == 1:
+        return "params", module_path + ("scale",), value
+    if name == "bias" and len(module_path) > 0 and module_path[-1] == "norm" and value.ndim == 1:
+        return "params", module_path + ("bias",), value
+
+    # Linear
+    if name == "weight" and value.ndim == 2:
+        return "params", module_path + ("kernel",), value.T
+    if name == "weight" and value.ndim == 1:  # LayerNorm elsewhere
+        return "params", module_path + ("scale",), value
+    if name == "bias":
+        return "params", module_path + ("bias",), value
+
+    # nn.Embedding
+    if name == "embeddings" or (name == "weight" and "embedding" in ".".join(module_path)):
+        return "params", module_path + ("embedding",), value
+
+    return None
+
+
+def convert_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, Dict]:
+    """torch state dict (tensor or ndarray values) -> {'params': ..., 'buffers': ...}."""
+    params: Dict = {}
+    buffers: Dict = {}
+    skipped = []
+    for key, value in state_dict.items():
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        mapped = torch_key_to_flax(key, arr)
+        if mapped is None:
+            skipped.append(key)
+            continue
+        collection, path, out = mapped
+        # torch nests GroupNorm as <block>.norm.norm.{weight,bias}; flax uses
+        # a single 'norm' module — collapse doubled 'norm' segments.
+        path = tuple(_dedup_norm(path))
+        _set(params if collection == "params" else buffers, path, out)
+    return {"params": params, "buffers": buffers, "skipped": skipped}
+
+
+def _dedup_norm(path):
+    out = []
+    for p in path:
+        if p == "norm" and out and out[-1] == "norm":
+            continue
+        out.append(p)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """Load a reference .pth.tar and convert (requires torch-cpu)."""
+    import torch
+
+    snapshot = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = snapshot.get("model", snapshot)
+    return convert_state_dict(state_dict)

@@ -123,3 +123,31 @@ def test_knn_search():
     d, expected = tree.query(q, k=5)
     np.testing.assert_array_equal(idx[:50], expected)
     np.testing.assert_allclose(np.sqrt(sq[:50]), d, atol=1e-4)
+
+
+def test_bucketed_matches_brute_large():
+    from ref_geotransformer_tpu.ops.neighbors import radius_search_brute, radius_search_bucketed
+
+    q = rng.uniform(-2, 2, (3000, 3)).astype(np.float32)
+    s = rng.uniform(-2, 2, (4000, 3)).astype(np.float32)
+    qp, qm = pad_cloud(q, 3072)
+    sp, sm = pad_cloud(s, 4096)
+    radius, limit = 0.35, 24
+    brute = np.asarray(radius_search_brute(qp, sp, qm, sm, radius, limit, 512))
+    bucket = np.asarray(radius_search_bucketed(qp, sp, qm, sm, radius, limit, 512))
+    # identical neighbor sets and order (both distance-sorted, exact)
+    mismatch = (brute != bucket).mean()
+    assert mismatch < 1e-6, f"bucketed differs from brute on {mismatch:.2%} of slots"
+
+
+def test_bucketed_cell_overflow_degrades_gracefully():
+    from ref_geotransformer_tpu.ops.neighbors import radius_search_bucketed
+
+    # 500 points inside ONE cell: candidates are capped by cell_capacity
+    s = rng.uniform(0, 0.09, (500, 3)).astype(np.float32)
+    q = s[:10]
+    qp, qm = pad_cloud(q, 16)
+    sp, sm = pad_cloud(s, 512)
+    out = np.asarray(radius_search_bucketed(qp, sp, qm, sm, 0.1, 8, 16, cell_capacity=64))
+    valid_counts = (out[:10] < 512).sum(1)
+    assert np.all(valid_counts == 8)  # still fills every slot from the capped candidates
