@@ -50,6 +50,9 @@ class BackboneConfig:
     init_dim: int = 64
     output_dim: int = 256
     fine_level: int = 1  # pyramid level of the finest decoder output
+    # compute dtype for the KPConv aggregation einsums ('float32' or
+    # 'bfloat16'; f32 accumulation either way)
+    dtype: str = "float32"
 
     @property
     def init_radius(self) -> float:

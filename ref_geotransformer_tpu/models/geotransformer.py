@@ -148,6 +148,7 @@ class GeoTransformer(nn.Module):
             cfg.backbone.group_norm,
             cfg.backbone.num_stages,
             cfg.backbone.fine_level,
+            jnp.bfloat16 if cfg.backbone.dtype == "bfloat16" else None,
             name="backbone",
         )
         feats = jnp.stack([data["ref_feats"], data["src_feats"]], axis=0)  # (2, N0, C)

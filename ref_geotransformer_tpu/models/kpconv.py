@@ -52,6 +52,7 @@ class KPConv(nn.Module):
     radius: float
     sigma: float
     use_bias: bool = False
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for the MXU path
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
@@ -68,17 +69,30 @@ class KPConv(nn.Module):
         neighbors = masked_gather(s_points, neighbor_indices, fill_value=_SHADOW)  # (M, H, 3)
         neighbors = neighbors - q_points[:, None, :]
 
-        # linear-correlation influence of each kernel point (kpconv.py:96-100)
-        differences = neighbors[:, :, None, :] - kernel_points[None, None, :, :]  # (M, H, K, 3)
-        sq_distances = jnp.sum(differences**2, axis=3)
+        # linear-correlation influence of each kernel point (kpconv.py:96-100),
+        # via the |n|^2 - 2 n.k + |k|^2 expansion: one (M*H, 3)x(3, K) MXU
+        # matmul instead of materializing (M, H, K, 3) differences (4x less
+        # HBM traffic on the hottest tensor in the backbone)
+        n_sq = jnp.sum(neighbors**2, axis=-1)  # (M, H)
+        k_sq = jnp.sum(kernel_points**2, axis=-1)  # (K,)
+        nk = jnp.einsum("mhd,kd->mhk", neighbors, kernel_points, preferred_element_type=jnp.float32)
+        sq_distances = jnp.maximum(n_sq[:, :, None] - 2.0 * nk + k_sq[None, None, :], 0.0)
         neighbor_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / self.sigma, 0.0)  # (M, H, K)
 
         neighbor_feats = masked_gather(s_feats, neighbor_indices, fill_value=0.0)  # (M, H, C)
+        if self.compute_dtype is not None:
+            # bf16 operands, f32 accumulation: halves HBM traffic on the
+            # backbone's dominant tensors, full-rate MXU
+            nw = neighbor_weights.astype(self.compute_dtype)
+            nf = neighbor_feats.astype(self.compute_dtype)
+            w = weights.astype(self.compute_dtype)
+        else:
+            nw, nf, w = neighbor_weights, neighbor_feats, weights
         weighted_feats = jnp.einsum(
-            "mhk,mhc->mkc", neighbor_weights, neighbor_feats, preferred_element_type=jnp.float32
+            "mhk,mhc->mkc", nw, nf, preferred_element_type=jnp.float32
         )
         output_feats = jnp.einsum(
-            "mkc,kco->mo", weighted_feats, weights, preferred_element_type=jnp.float32
+            "mkc,kco->mo", weighted_feats.astype(w.dtype), w, preferred_element_type=jnp.float32
         )
 
         # normalize by the number of neighbors with positive feature sum
@@ -181,12 +195,13 @@ class ConvBlock(nn.Module):
     negative_slope: float = 0.1
     use_bias: bool = True
     layer_norm: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
-            use_bias=self.use_bias, name="KPConv",
+            use_bias=self.use_bias, compute_dtype=self.compute_dtype, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices)
         if self.layer_norm:
             x = nn.LayerNorm(name="norm")(x)
@@ -208,6 +223,7 @@ class ResidualBlock(nn.Module):
     strided: bool = False
     use_bias: bool = True
     layer_norm: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None, s_masks=None):
@@ -222,7 +238,7 @@ class ResidualBlock(nn.Module):
             x = s_feats
 
         x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, use_bias=self.use_bias,
-                   name="KPConv")(x, q_points, s_points, neighbor_indices)
+                   compute_dtype=self.compute_dtype, name="KPConv")(x, q_points, s_points, neighbor_indices)
         if self.layer_norm:
             x = nn.LayerNorm(name="norm_conv")(x)
         else:

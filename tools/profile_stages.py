@@ -106,9 +106,33 @@ def main():
     )
     timed("gt node correspondences", gt)
 
-    # backbone alone via the model's internals is awkward; approximate with a
-    # forward that stops at coarse feats by reusing the module tree is
-    # invasive — instead time transformer + sinkhorn + lgr pieces directly.
+    # backbone alone (stacked pair, like the model)
+    from ref_geotransformer_tpu.models.backbone import KPConvFPN
+
+    backbone = GeoTransformer(cfg)  # reuse dims
+    bb = KPConvFPN(
+        cfg.backbone.input_dim, cfg.backbone.output_dim, cfg.backbone.init_dim,
+        cfg.backbone.kernel_size, cfg.backbone.init_radius, cfg.backbone.init_sigma,
+        cfg.backbone.group_norm, cfg.backbone.num_stages, cfg.backbone.fine_level,
+    )
+    import flax.linen as nn_linen
+
+    bb_v = jax.vmap(lambda *a: None)  # placeholder to appease linters
+    vbb = __import__("flax").linen.vmap(
+        KPConvFPN, in_axes=0, out_axes=0,
+        variable_axes={"params": None, "buffers": None},
+        split_rngs={"params": False, "buffers": False},
+    )(
+        cfg.backbone.input_dim, cfg.backbone.output_dim, cfg.backbone.init_dim,
+        cfg.backbone.kernel_size, cfg.backbone.init_radius, cfg.backbone.init_sigma,
+        cfg.backbone.group_norm, cfg.backbone.num_stages, cfg.backbone.fine_level,
+    )
+    stacked = jax.tree_util.tree_map(lambda r, s: jnp.stack([r, s], 0), ref, src)
+    feats0 = jnp.ones((2, cap0, 1), jnp.float32)
+    bb_vars = jax.jit(vbb.init)(jax.random.key(0), feats0, stacked)
+    bb_fn = jax.jit(lambda v, f, d: vbb.apply(v, f, d)[-1])
+    timed("KPConv-FPN backbone (pair)", bb_fn, bb_vars, feats0, stacked)
+
     n_c = cfg.capacities.points[-1]
     h = cfg.geotransformer.hidden_dim
     pts_c = ref["points"][-1][None]
