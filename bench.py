@@ -14,6 +14,7 @@ We use BASELINE_PAIRS_PER_SEC = 5.0; vs_baseline = ours / baseline.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,8 @@ def main():
     sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
     sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "experiments", "geotransformer_3dmatch_stage4"))
 
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +39,11 @@ def main():
     from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
 
     cfg = make_cfg(demo=True)
+    # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4
+    bench_dtype = os.environ.get("BENCH_DTYPE", cfg.backbone.dtype)
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if bench_dtype != cfg.backbone.dtype:
+        cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, dtype=bench_dtype))
     root = osp.dirname(osp.abspath(__file__))
     ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
     src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
@@ -62,18 +70,26 @@ def main():
 
     variables = init_model_variables(model, cfg, jax.random.key(0))
 
-    args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
+    if batch > 1:
+        batched = jax.jit(jax.vmap(full_pipeline, in_axes=(None, 0, 0, 0, 0)))
+        tile = lambda x: jnp.broadcast_to(jnp.array(x)[None], (batch,) + x.shape)
+        args = (variables, tile(ref_p), tile(ref_m), tile(src_p), tile(src_m))
+        run = batched
+    else:
+        args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
+        run = full_pipeline
+
     # warmup / compile (device_get forces a real round-trip; block_until_ready
     # alone is unreliable over the axon tunnel)
-    jax.device_get(full_pipeline(*args))
+    jax.device_get(run(*args))
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        out = full_pipeline(*args)
+        out = run(*args)
     jax.device_get(out)
     dt = (time.time() - t0) / iters
-    pairs_per_sec = 1.0 / dt
+    pairs_per_sec = batch / dt
 
     print(
         json.dumps(

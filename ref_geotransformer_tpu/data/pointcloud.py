@@ -75,6 +75,76 @@ def get_nearest_correspondences(
     return np.asarray(corr, dtype=np.int64).reshape(-1, 2)
 
 
+def random_sample_keypoints(
+    points: np.ndarray, feats: np.ndarray, num_keypoints: int, rng: Optional[np.random.Generator] = None
+):
+    """Uniform keypoint sampling (utils/pointcloud.py:139-151)."""
+    rng = rng or np.random.default_rng()
+    n = points.shape[0]
+    if n > num_keypoints:
+        sel = rng.choice(n, num_keypoints, replace=False)
+        return points[sel], feats[sel]
+    return points, feats
+
+
+def sample_keypoints_with_scores(points: np.ndarray, feats: np.ndarray, scores: np.ndarray, num_keypoints: int):
+    """Top-score keypoints (utils/pointcloud.py:154-165)."""
+    if points.shape[0] > num_keypoints:
+        sel = np.argsort(-scores)[:num_keypoints]
+        return points[sel], feats[sel]
+    return points, feats
+
+
+def random_sample_keypoints_with_scores(
+    points: np.ndarray, feats: np.ndarray, scores: np.ndarray, num_keypoints: int,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Score-weighted random sampling (utils/pointcloud.py:168-181)."""
+    rng = rng or np.random.default_rng()
+    n = points.shape[0]
+    if n > num_keypoints:
+        probs = scores / scores.sum()
+        sel = rng.choice(n, num_keypoints, replace=False, p=probs)
+        return points[sel], feats[sel]
+    return points, feats
+
+
+def sample_keypoints_with_nms(
+    points: np.ndarray, feats: np.ndarray, scores: np.ndarray, num_keypoints: int, radius: float
+):
+    """Greedy score-ordered NMS keypoint selection (utils/pointcloud.py:184-210)."""
+    from scipy.spatial import cKDTree
+
+    order = np.argsort(-scores)
+    tree = cKDTree(points)
+    suppressed = np.zeros(points.shape[0], bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        if len(keep) >= num_keypoints:
+            break
+        for j in tree.query_ball_point(points[i], radius):
+            suppressed[j] = True
+    keep = np.asarray(keep, np.int64)
+    return points[keep], feats[keep]
+
+
+def random_sample_keypoints_with_nms(
+    points: np.ndarray, feats: np.ndarray, scores: np.ndarray, num_keypoints: int, radius: float,
+    rng: Optional[np.random.Generator] = None,
+):
+    """NMS pre-filter then random selection (utils/pointcloud.py:213-239)."""
+    rng = rng or np.random.default_rng()
+    nms_points, nms_feats = sample_keypoints_with_nms(points, feats, scores, points.shape[0], radius)
+    n = nms_points.shape[0]
+    if n > num_keypoints:
+        sel = rng.choice(n, num_keypoints, replace=False)
+        return nms_points[sel], nms_feats[sel]
+    return nms_points, nms_feats
+
+
 def regularize_normals(points: np.ndarray, normals: np.ndarray, positive: bool = True) -> np.ndarray:
     """Flip normals towards (or away from) the viewpoint at the origin
     (utils/pointcloud.py convention)."""

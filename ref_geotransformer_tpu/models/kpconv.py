@@ -66,30 +66,35 @@ class KPConv(nn.Module):
             lambda: jnp.asarray(load_kernels(self.radius, self.kernel_size)),
         ).value
 
-        neighbors = masked_gather(s_points, neighbor_indices, fill_value=_SHADOW)  # (M, H, 3)
-        neighbors = neighbors - q_points[:, None, :]
+        # ONE fused gather for coordinates + features (the backbone's
+        # dominant memory op — two separate gathers would double it); empty
+        # slots (sentinel index) are masked out of the influence weights
+        # instead of the reference's +inf shadow point (same result: zero
+        # influence, kpconv.py:91-100).
+        valid = neighbor_indices < s_points.shape[0]  # (M, H)
+        table = jnp.concatenate([s_points, s_feats], axis=1)
+        if self.compute_dtype is not None:
+            table = table.astype(self.compute_dtype)
+        gathered = masked_gather(table, neighbor_indices, fill_value=0.0)  # (M, H, 3+C)
+        neighbors = gathered[..., :3].astype(jnp.float32) - q_points[:, None, :]
+        neighbor_feats = gathered[..., 3:]
 
-        # linear-correlation influence of each kernel point (kpconv.py:96-100),
-        # via the |n|^2 - 2 n.k + |k|^2 expansion: one (M*H, 3)x(3, K) MXU
-        # matmul instead of materializing (M, H, K, 3) differences (4x less
-        # HBM traffic on the hottest tensor in the backbone)
+        # influence via the |n|^2 - 2 n.k + |k|^2 expansion: one
+        # (M*H, 3)x(3, K) MXU matmul, no (M, H, K, 3) intermediate
         n_sq = jnp.sum(neighbors**2, axis=-1)  # (M, H)
         k_sq = jnp.sum(kernel_points**2, axis=-1)  # (K,)
         nk = jnp.einsum("mhd,kd->mhk", neighbors, kernel_points, preferred_element_type=jnp.float32)
         sq_distances = jnp.maximum(n_sq[:, :, None] - 2.0 * nk + k_sq[None, None, :], 0.0)
         neighbor_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / self.sigma, 0.0)  # (M, H, K)
+        neighbor_weights = jnp.where(valid[:, :, None], neighbor_weights, 0.0)
 
-        neighbor_feats = masked_gather(s_feats, neighbor_indices, fill_value=0.0)  # (M, H, C)
         if self.compute_dtype is not None:
-            # bf16 operands, f32 accumulation: halves HBM traffic on the
-            # backbone's dominant tensors, full-rate MXU
             nw = neighbor_weights.astype(self.compute_dtype)
-            nf = neighbor_feats.astype(self.compute_dtype)
             w = weights.astype(self.compute_dtype)
         else:
-            nw, nf, w = neighbor_weights, neighbor_feats, weights
+            nw, w = neighbor_weights, weights
         weighted_feats = jnp.einsum(
-            "mhk,mhc->mkc", nw, nf, preferred_element_type=jnp.float32
+            "mhk,mhc->mkc", nw, neighbor_feats, preferred_element_type=jnp.float32
         )
         output_feats = jnp.einsum(
             "mkc,kco->mo", weighted_feats.astype(w.dtype), w, preferred_element_type=jnp.float32
@@ -97,7 +102,9 @@ class KPConv(nn.Module):
 
         # normalize by the number of neighbors with positive feature sum
         # (reference-exact semantics, kpconv.py:113-116)
-        neighbor_num = jnp.sum((jnp.sum(neighbor_feats, axis=-1) > 0.0).astype(jnp.float32), axis=-1)
+        neighbor_num = jnp.sum(
+            (jnp.sum(neighbor_feats.astype(jnp.float32), axis=-1) > 0.0).astype(jnp.float32), axis=-1
+        )
         neighbor_num = jnp.maximum(neighbor_num, 1.0)
         output_feats = output_feats / neighbor_num[:, None]
 
