@@ -66,6 +66,9 @@ def make_cfg(demo: bool = False) -> GeoTransformerConfig:
             init_dim=64,
             output_dim=256,
             fine_level=1,
+            # TPU deployment default: bf16 KPConv aggregation (f32
+            # accumulation) — train and infer in the same precision
+            dtype="bfloat16",
         ),
         model=ModelConfig(
             ground_truth_matching_radius=0.05,
