@@ -243,8 +243,12 @@ class GeoTransformer(nn.Module):
             preferred_element_type=jnp.float32,
         )
         matching_scores = matching_scores / ref_feats_f.shape[1] ** 0.5
+        # training needs the differentiable lax.scan path; inference may use
+        # the VMEM-resident Pallas loop (auto on TPU)
         matching_scores = LearnableLogOptimalTransport(
-            cfg.model.num_sinkhorn_iterations, name="optimal_transport"
+            cfg.model.num_sinkhorn_iterations,
+            use_pallas=False if training else None,
+            name="optimal_transport",
         )(matching_scores, ref_node_corr_knn_masks, src_node_corr_knn_masks)
         output["matching_scores"] = matching_scores
 

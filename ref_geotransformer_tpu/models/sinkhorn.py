@@ -13,10 +13,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# NOTE: the Pallas path has no custom VJP — callers that differentiate
+# through the transport plan must set use_pallas=False (the model does this
+# automatically in training mode).
+
 
 class LearnableLogOptimalTransport(nn.Module):
     num_iterations: int
     inf: float = 1e12
+    # None = auto (Pallas VMEM-resident loop on TPU, lax.scan elsewhere)
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -64,14 +70,22 @@ class LearnableLogOptimalTransport(nn.Module):
         )
         log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
 
-        def body(carry, _):
-            u, v = carry
-            u = log_mu - jax.nn.logsumexp(padded_scores + v[:, None, :], axis=2)
-            v = log_nu - jax.nn.logsumexp(padded_scores + u[:, :, None], axis=1)
-            return (u, v), None
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ref_geotransformer_tpu.models.pallas_kernels import sinkhorn_log_norm_pallas
 
-        init = (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu))
-        (u, v), _ = jax.lax.scan(body, init, None, length=self.num_iterations)
+            outputs = sinkhorn_log_norm_pallas(padded_scores, log_mu, log_nu, self.num_iterations)
+        else:
 
-        outputs = padded_scores + u[:, :, None] + v[:, None, :]
+            def body(carry, _):
+                u, v = carry
+                u = log_mu - jax.nn.logsumexp(padded_scores + v[:, None, :], axis=2)
+                v = log_nu - jax.nn.logsumexp(padded_scores + u[:, :, None], axis=1)
+                return (u, v), None
+
+            init = (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu))
+            (u, v), _ = jax.lax.scan(body, init, None, length=self.num_iterations)
+            outputs = padded_scores + u[:, :, None] + v[:, None, :]
         return outputs - norm[:, None, None]
