@@ -41,6 +41,7 @@ class EpochBasedTrainer:
         seed: int = 7351,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        event_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.model = model
@@ -64,6 +65,9 @@ class EpochBasedTrainer:
         # jax.profiler trace viewable in XProf/TensorBoard)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        from ref_geotransformer_tpu.utils.events import EventWriter
+
+        self.events = EventWriter(event_dir, enabled=event_dir is not None)
 
         self.train_step = make_train_step(model, cfg, mesh=mesh)
         self.eval_step = make_eval_step(model, cfg, mesh=mesh)
@@ -102,6 +106,7 @@ class EpochBasedTrainer:
             self.timer.add_process_time()
             self.iteration += 1
             self.summary_board.update_from_result_dict(losses)
+            self.events.add_scalars(losses, self.iteration, prefix="train/")
             for hook in self.after_step_hooks:
                 hook(self, losses)
             if self.iteration % self.log_steps == 0:
@@ -127,6 +132,8 @@ class EpochBasedTrainer:
             metrics = jax.device_get(self.eval_step(self.state, batch))
             board.update_from_result_dict(metrics)
         summary = board.summary()
+        self.events.add_scalars(summary, self.iteration, prefix="val/")
+        self.events.flush()
         self.logger.info("[Val] " + get_log_string(summary, epoch=self.epoch))
         return summary
 
