@@ -54,18 +54,20 @@ class KPConv(nn.Module):
     use_bias: bool = False
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for the MXU path
 
-    @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
-        weights = self.param(
+    def setup(self):
+        self.weights = self.param(
             "weights", _kaiming_uniform, (self.kernel_size, self.in_channels, self.out_channels)
         )
         # Kernel dispositions: non-trainable buffer (checkpoints may override).
-        kernel_points = self.variable(
+        self.kernel_points_var = self.variable(
             "buffers",
             "kernel_points",
             lambda: jnp.asarray(load_kernels(self.radius, self.kernel_size)),
-        ).value
+        )
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
         # ONE fused gather for coordinates + features (the backbone's
         # dominant memory op — two separate gathers would double it); empty
         # slots (sentinel index) are masked out of the influence weights
@@ -78,6 +80,15 @@ class KPConv(nn.Module):
         gathered = masked_gather(table, neighbor_indices, fill_value=0.0)  # (M, H, 3+C)
         neighbors = gathered[..., :3].astype(jnp.float32) - q_points[:, None, :]
         neighbor_feats = gathered[..., 3:]
+        return self.aggregate(neighbors, neighbor_feats, valid)
+
+    def aggregate(self, neighbors, neighbor_feats, valid):
+        """KPConv math on pre-gathered neighborhoods: relative coords
+        (M, H, 3), features (M, H, C), validity (M, H). Exposed so callers
+        (e.g. strided ResidualBlock) can share one gather across consumers.
+        """
+        weights = self.weights
+        kernel_points = self.kernel_points_var.value
 
         # influence via the |n|^2 - 2 n.k + |k|^2 expansion: one
         # (M*H, 3)x(3, K) MXU matmul, no (M, H, K, 3) intermediate
@@ -91,6 +102,7 @@ class KPConv(nn.Module):
         if self.compute_dtype is not None:
             nw = neighbor_weights.astype(self.compute_dtype)
             w = weights.astype(self.compute_dtype)
+            neighbor_feats = neighbor_feats.astype(self.compute_dtype)
         else:
             nw, w = neighbor_weights, weights
         weighted_feats = jnp.einsum(
@@ -109,8 +121,7 @@ class KPConv(nn.Module):
         output_feats = output_feats / neighbor_num[:, None]
 
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            output_feats = output_feats + bias
+            output_feats = output_feats + self.bias
         return output_feats
 
 
@@ -244,8 +255,23 @@ class ResidualBlock(nn.Module):
         else:
             x = s_feats
 
-        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, use_bias=self.use_bias,
-                   compute_dtype=self.compute_dtype, name="KPConv")(x, q_points, s_points, neighbor_indices)
+        conv = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, use_bias=self.use_bias,
+                      compute_dtype=self.compute_dtype, name="KPConv")
+        if self.strided:
+            # strided blocks need BOTH the conv's neighborhoods and a maxpool
+            # of the raw input over the same indices — fuse into ONE gather
+            # (gather cost is per-row, not per-byte, on TPU)
+            valid = neighbor_indices < s_points.shape[0]
+            table = jnp.concatenate([s_points, x, s_feats], axis=1)
+            if self.compute_dtype is not None:
+                table = table.astype(self.compute_dtype)
+            gathered = masked_gather(table, neighbor_indices, fill_value=0.0)
+            neighbors = gathered[..., :3].astype(jnp.float32) - q_points[:, None, :]
+            x = conv.aggregate(neighbors, gathered[..., 3 : 3 + mid], valid)
+            shortcut = jnp.max(gathered[..., 3 + mid :].astype(s_feats.dtype), axis=1)
+        else:
+            x = conv(x, q_points, s_points, neighbor_indices)
+            shortcut = s_feats
         if self.layer_norm:
             x = nn.LayerNorm(name="norm_conv")(x)
         else:
@@ -254,11 +280,6 @@ class ResidualBlock(nn.Module):
 
         x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False,
                        use_bias=self.use_bias, layer_norm=self.layer_norm, name="unary2")(x, q_masks)
-
-        if self.strided:
-            shortcut = maxpool(s_feats, neighbor_indices)
-        else:
-            shortcut = s_feats
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(self.in_channels, self.out_channels, self.group_norm, has_relu=False,
                                   use_bias=self.use_bias, layer_norm=self.layer_norm,
