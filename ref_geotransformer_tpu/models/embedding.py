@@ -51,7 +51,10 @@ class GeometricStructureEmbedding(nn.Module):
     """Pair-distance + triplet-angle embedding over superpoints
     (geotransformer.py:9-72), mask-aware for padded nodes.
 
-    Output: (B, N, N, hidden_dim).
+    Output: (B, N, N, hidden_dim). With use_pallas (auto on TPU), the fused
+    tile kernel in models/pallas_kernels.py computes sinusoids + projections
+    + angle-max without the (B, N, N, k, C) HBM intermediate; forward-only,
+    so the model disables it in training mode.
     """
 
     hidden_dim: int
@@ -59,45 +62,97 @@ class GeometricStructureEmbedding(nn.Module):
     sigma_a: float
     angle_k: int
     reduction_a: str = "max"
+    use_pallas: Optional[bool] = None
 
-    def get_embedding_indices(self, points: jnp.ndarray, masks: Optional[jnp.ndarray]):
-        """d_indices (B, N, N), a_indices (B, N, N, k). Invalid nodes are
-        excluded from the kNN used for reference vectors."""
-        b, n, _ = points.shape
+    def _knn_ref_vectors(self, points: jnp.ndarray, masks: Optional[jnp.ndarray]):
+        """(B, N, k, 3) vectors to each node's k nearest valid nodes."""
         k = self.angle_k
-
         dist_map = jnp.sqrt(pairwise_distance(points, points))  # (B, N, N)
-        d_indices = dist_map / self.sigma_d
-
         knn_dist = dist_map
         if masks is not None:
             knn_dist = jnp.where(masks[:, None, :], knn_dist, 1e12)
         # k+1 nearest, drop self (geotransformer.py:42-43)
         _, knn_indices = jax.lax.top_k(-knn_dist, k + 1)
         knn_indices = knn_indices[:, :, 1:]  # (B, N, k)
-
         knn_points = jax.vmap(lambda pts, idx: pts[idx])(points, knn_indices)  # (B, N, k, 3)
-        ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
-        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, N, 3)
+        return knn_points - points[:, :, None, :], dist_map
 
+    def get_embedding_indices(self, points: jnp.ndarray, masks: Optional[jnp.ndarray] = None):
+        """d_indices (B, N, N), a_indices (B, N, N, k)."""
+        ref_vectors, dist_map = self._knn_ref_vectors(points, masks)
+        d_indices = dist_map / self.sigma_d
+        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, N, 3)
         ref_vec = ref_vectors[:, :, None, :, :]  # (B, N, 1, k, 3)
         anc_vec = anc_vectors[:, :, :, None, :]  # (B, N, N, 1, 3)
         sin_values = jnp.linalg.norm(jnp.cross(ref_vec, anc_vec), axis=-1)  # (B, N, N, k)
         cos_values = jnp.sum(ref_vec * anc_vec, axis=-1)
         angles = jnp.arctan2(sin_values, cos_values)
-        factor_a = 180.0 / (self.sigma_a * np.pi)
-        a_indices = angles * factor_a
+        a_indices = angles * self._factor_a()
         return d_indices, a_indices
+
+    def _factor_a(self) -> float:
+        return 180.0 / (self.sigma_a * np.pi)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, n, _ = points.shape
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = use_pallas and self.reduction_a == "max" and n % 64 == 0
+
+        dense_d = nn.Dense(self.hidden_dim, name="proj_d")
+        dense_a = nn.Dense(self.hidden_dim, name="proj_a")
+
+        if use_pallas:
+            from ref_geotransformer_tpu.models.pallas_kernels import geometric_embedding_pallas
+
+            # materialize the Dense params, then hand their raw arrays to the
+            # fused kernel (checkpoint layout unchanged)
+            dummy = jnp.zeros((1, self.hidden_dim))
+            dense_d(dummy)
+            dense_a(dummy)
+            pd = self.get_variable("params", "proj_d")
+            pa = self.get_variable("params", "proj_a")
+            div_indices = jnp.arange(0, self.hidden_dim, 2, dtype=jnp.float32)
+            div_term = jnp.exp(div_indices * (-np.log(10000.0) / self.hidden_dim))
+
+            # The module's sinusoid layout interleaves [sin0, cos0, sin1, ...]
+            # (positional_embedding.py:28-33); the kernel emits
+            # [sin..., cos...]. Permute the projection rows so
+            # emb_concat @ W_perm == emb_interleaved @ W exactly.
+            half = self.hidden_dim // 2
+            perm = jnp.concatenate(
+                [2 * jnp.arange(half, dtype=jnp.int32), 2 * jnp.arange(half, dtype=jnp.int32) + 1]
+            )
+            wd_k = pd["kernel"][perm]
+            wa_k = pa["kernel"][perm]
+
+            ref_vectors, _ = self._knn_ref_vectors(points, masks)
+            ref_vectors = jax.lax.stop_gradient(ref_vectors)
+            outs = [
+                geometric_embedding_pallas(
+                    jax.lax.stop_gradient(points[i]),
+                    ref_vectors[i],
+                    div_term,
+                    wd_k,
+                    pd["bias"],
+                    wa_k,
+                    pa["bias"],
+                    self.sigma_d,
+                    self._factor_a(),
+                )
+                for i in range(b)
+            ]
+            return jnp.stack(outs, axis=0)
+
         d_indices, a_indices = self.get_embedding_indices(points, masks)
         d_indices = jax.lax.stop_gradient(d_indices)
         a_indices = jax.lax.stop_gradient(a_indices)
 
         embed = SinusoidalPositionalEmbedding(self.hidden_dim, name="embedding")
-        d_emb = nn.Dense(self.hidden_dim, name="proj_d")(embed(d_indices))  # (B, N, N, C)
-        a_emb = nn.Dense(self.hidden_dim, name="proj_a")(embed(a_indices))  # (B, N, N, k, C)
+        d_emb = dense_d(embed(d_indices))  # (B, N, N, C)
+        a_emb = dense_a(embed(a_indices))  # (B, N, N, k, C)
         if self.reduction_a == "max":
             a_emb = jnp.max(a_emb, axis=3)
         elif self.reduction_a == "mean":

@@ -49,12 +49,14 @@ class GeometricTransformer(nn.Module):
     sigma_a: float
     angle_k: int
     reduction_a: str = "max"
+    use_pallas_embedding: object = None  # None = auto (TPU, inference)
 
     @nn.compact
     def __call__(self, ref_points, src_points, ref_feats, src_feats, ref_masks=None, src_masks=None):
         """All tensors batched (B, N, ...); masks (B, N) validity."""
         embed = GeometricStructureEmbedding(
-            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k, self.reduction_a, name="embedding"
+            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k, self.reduction_a,
+            use_pallas=self.use_pallas_embedding, name="embedding"
         )
         ref_embeddings = embed(ref_points, ref_masks)
         src_embeddings = embed(src_points, src_masks)
@@ -170,6 +172,7 @@ class GeoTransformer(nn.Module):
             cfg.geotransformer.sigma_a,
             cfg.geotransformer.angle_k,
             cfg.geotransformer.reduction_a,
+            use_pallas_embedding=False if training else None,  # fwd-only kernel
             name="transformer",
         )(
             ref_points_c[None], src_points_c[None], ref_feats_c[None], src_feats_c[None],

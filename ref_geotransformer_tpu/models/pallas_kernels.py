@@ -5,6 +5,12 @@ normalization (learnable_sinkhorn.py:13-18) as ONE kernel — the (K+1, K+1)
 score blocks and both dual vectors stay resident in VMEM for all iterations,
 eliminating per-iteration HBM round-trips of the XLA scan. Patch blocks are
 processed in groups along the grid.
+
+geometric_embedding_pallas: the pair-distance + triplet-angle structure
+embedding (geotransformer.py:25-72) fused per (N, N) tile — sinusoid
+features, both linear projections and the angle-k max reduction never touch
+HBM (the XLA path materializes an (N, N, k, C) tensor). Forward-only: the
+model uses it in inference; training keeps the differentiable XLA path.
 """
 
 from __future__ import annotations
@@ -74,3 +80,102 @@ def sinkhorn_log_norm_pallas(
         interpret=interpret,
     )(padded_scores, log_mu, log_nu)
     return out[:b]
+
+
+def _geo_embedding_kernel(
+    points_ref,       # (N, 3)
+    ref_vecs_ref,     # (N, k, 3)
+    div_term_ref,     # (1, C/2)
+    wd_ref,           # (C, C)
+    bd_ref,           # (1, C)
+    wa_ref,           # (C, C)
+    ba_ref,           # (1, C)
+    out_ref,          # (TM, TN, C)
+    *,
+    tile_m: int,
+    tile_n: int,
+    sigma_d: float,
+    factor_a: float,
+    angle_k: int,
+    d_model: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row_pts = points_ref[pl.ds(i * tile_m, tile_m), :]  # (TM, 3)
+    col_pts = points_ref[pl.ds(j * tile_n, tile_n), :]  # (TN, 3)
+    div_term = div_term_ref[0, :]  # (C/2,)
+
+    # anc[n, m] = col[m] - row[n]
+    anc = col_pts[None, :, :] - row_pts[:, None, :]  # (TM, TN, 3)
+    d = jnp.sqrt(jnp.maximum(jnp.sum(anc**2, axis=-1), 0.0))  # (TM, TN)
+
+    def sinusoid_project(idx, w, bvec):
+        # idx (TM, TN) -> (TM*TN, C) projected
+        omegas = idx.reshape(tile_m * tile_n, 1) * div_term[None, :]  # (R, C/2)
+        emb = jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (R, C)
+        return jnp.dot(emb, w, preferred_element_type=jnp.float32) + bvec
+
+    d_proj = sinusoid_project(d / sigma_d, wd_ref[:], bd_ref[0, :])  # (R, C)
+
+    a_max = jnp.full((tile_m * tile_n, d_model), -jnp.inf, jnp.float32)
+    for t in range(angle_k):
+        rv = ref_vecs_ref[pl.ds(i * tile_m, tile_m), t, :]  # (TM, 3)
+        rvb = rv[:, None, :]
+        cross = jnp.cross(rvb, anc)
+        # no epsilon floor: atan2(0, 0) must stay 0 on the diagonal
+        # (zero anchor vectors), matching the XLA path exactly
+        sin_v = jnp.sqrt(jnp.maximum(jnp.sum(cross**2, axis=-1), 0.0))
+        cos_v = jnp.sum(rvb * anc, axis=-1)
+        ang = jnp.arctan2(sin_v, cos_v) * factor_a  # (TM, TN)
+        a_proj = sinusoid_project(ang, wa_ref[:], ba_ref[0, :])
+        a_max = jnp.maximum(a_max, a_proj)
+
+    out_ref[:] = (d_proj + a_max).reshape(tile_m, tile_n, d_model)
+
+
+def geometric_embedding_pallas(
+    points: jnp.ndarray,      # (N, 3)
+    ref_vectors: jnp.ndarray,  # (N, k, 3) vectors to the k nearest nodes
+    div_term: jnp.ndarray,     # (C/2,) sinusoid frequencies
+    wd: jnp.ndarray,           # (C, C) proj_d kernel
+    bd: jnp.ndarray,           # (C,) proj_d bias
+    wa: jnp.ndarray,           # (C, C) proj_a kernel
+    ba: jnp.ndarray,           # (C,) proj_a bias
+    sigma_d: float,
+    factor_a: float,
+    tile: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused (N, N, C) geometric structure embedding ('max' angle reduction)."""
+    n, _ = points.shape
+    k = ref_vectors.shape[1]
+    c = wd.shape[0]
+    assert n % tile == 0, f"node capacity {n} must be a multiple of tile {tile}"
+
+    import functools as _ft
+
+    kernel = _ft.partial(
+        _geo_embedding_kernel,
+        tile_m=tile,
+        tile_n=tile,
+        sigma_d=sigma_d,
+        factor_a=factor_a,
+        angle_k=k,
+        d_model=c,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile, n // tile),
+        in_specs=[
+            pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, 3), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n, c), jnp.float32),
+        interpret=interpret,
+    )(points, ref_vectors, div_term[None, :], wd, bd[None, :], wa, ba[None, :])

@@ -33,3 +33,36 @@ def test_sinkhorn_pallas_matches_scan():
         sinkhorn_log_norm_pallas(scores, log_mu, log_nu, 30, block_b=2, interpret=True)
     )
     np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+
+def test_geometric_embedding_pallas_matches_xla():
+    import numpy as np
+    from ref_geotransformer_tpu.models.embedding import GeometricStructureEmbedding
+
+    rng = np.random.default_rng(3)
+    n, c, k = 64, 32, 3  # n multiple of the 64-tile
+    points = jnp.array(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
+    masks = jnp.ones((1, n), bool)
+
+    mod_xla = GeometricStructureEmbedding(c, 0.2, 15.0, k, "max", use_pallas=False)
+    variables = mod_xla.init(jax.random.key(0), points, masks)
+    expected = np.asarray(mod_xla.apply(variables, points, masks))
+
+    # pallas path in interpret mode (CPU): monkeypatch the kernel entry to
+    # force interpret
+    import ref_geotransformer_tpu.models.pallas_kernels as pk
+
+    orig = pk.geometric_embedding_pallas
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    pk.geometric_embedding_pallas = interp
+    try:
+        mod_pl = GeometricStructureEmbedding(c, 0.2, 15.0, k, "max", use_pallas=True)
+        got = np.asarray(mod_pl.apply(variables, points, masks))
+    finally:
+        pk.geometric_embedding_pallas = orig
+
+    np.testing.assert_allclose(got, expected, atol=2e-3, rtol=2e-3)
