@@ -50,11 +50,12 @@ def train_valid_data_loader(cfg, batch_size=None, num_shards=1, shard_index=0):
     return train_loader, valid_loader
 
 
-def test_data_loader(cfg, benchmark: str):
+def test_data_loader(cfg, benchmark: str, rotated: bool = False):
     test_dataset = ThreeDMatchPairDataset(
         DATASET_ROOT,
         benchmark,
         point_limit=cfg.test.point_limit,
         use_augmentation=False,
+        rotated=rotated,
     )
     return PairLoader(test_dataset, cfg, batch_size=1)

@@ -20,6 +20,7 @@ def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--benchmark", choices=["3DMatch", "3DLoMatch", "val"], default="3DMatch")
     parser.add_argument("--snapshot", required=True, help="epoch snapshot name (e.g. epoch-40)")
+    parser.add_argument("--rotated", action="store_true", help="rotated benchmark variant (dataset.py:114-122)")
     return parser.parse_args()
 
 
@@ -40,7 +41,7 @@ def main():
     ensure_dir(feature_dir)
     ensure_dir(LOG_DIR)
 
-    loader = test_data_loader(cfg, args.benchmark)
+    loader = test_data_loader(cfg, args.benchmark, rotated=args.rotated)
     model = GeoTransformer(cfg)
 
     pair0, _ = next(iter(loader.iter_single()))

@@ -82,6 +82,21 @@ def sinkhorn_log_norm_pallas(
     return out[:b]
 
 
+def _atan2_nonneg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """atan2 for y >= 0 (angle in [0, pi]) from basic ops — Mosaic has no
+    atan/atan2 primitive. Range-reduce to [0, 1] and evaluate a minimax
+    polynomial (|err| ~ 1e-5 rad, far below the sinusoid tolerance)."""
+    ax = jnp.abs(x)
+    mn = jnp.minimum(ax, y)
+    mx = jnp.maximum(ax, y)
+    r = mn / jnp.maximum(mx, 1e-30)
+    r2 = r * r
+    a = r * (0.9998660 + r2 * (-0.3302995 + r2 * (0.1801410 + r2 * (-0.0851330 + r2 * 0.0208351))))
+    a = jnp.where(y > ax, jnp.pi / 2.0 - a, a)
+    a = jnp.where(x < 0.0, jnp.pi - a, a)
+    return a
+
+
 def _geo_embedding_kernel(
     points_ref,       # (N, 3)
     ref_vecs_ref,     # (N, k, 3)
@@ -126,7 +141,7 @@ def _geo_embedding_kernel(
         # (zero anchor vectors), matching the XLA path exactly
         sin_v = jnp.sqrt(jnp.maximum(jnp.sum(cross**2, axis=-1), 0.0))
         cos_v = jnp.sum(rvb * anc, axis=-1)
-        ang = jnp.arctan2(sin_v, cos_v) * factor_a  # (TM, TN)
+        ang = _atan2_nonneg(sin_v, cos_v) * factor_a  # (TM, TN)
         a_proj = sinusoid_project(ang, wa_ref[:], ba_ref[0, :])
         a_max = jnp.maximum(a_max, a_proj)
 
@@ -177,5 +192,6 @@ def geometric_embedding_pallas(
         ],
         out_specs=pl.BlockSpec((tile, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(points, ref_vectors, div_term[None, :], wd, bd[None, :], wa, ba[None, :])
