@@ -21,6 +21,17 @@ from ref_geotransformer_tpu.config import GeoTransformerConfig
 from ref_geotransformer_tpu.data.pyramid import pad_points
 
 
+def pack_single(data: Dict, capacity: int) -> Dict:
+    """Pad a single-cloud item (utils/data.py:84-140's single collate role)."""
+    points, masks = pad_points(data["points"], capacity)
+    packed = {"points": points, "masks": masks}
+    if "feats" in data:
+        feats = np.zeros((capacity, data["feats"].shape[1]), np.float32)
+        feats[: data["feats"].shape[0]] = data["feats"]
+        packed["feats"] = feats
+    return packed
+
+
 def pack_pair(data: Dict, capacity: int) -> Dict:
     """Pad one dataset item to the raw-cloud capacity."""
     ref_points, ref_masks = pad_points(data["ref_points"], capacity)

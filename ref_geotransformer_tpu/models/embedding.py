@@ -105,7 +105,7 @@ class GeometricStructureEmbedding(nn.Module):
         dense_a = nn.Dense(self.hidden_dim, name="proj_a")
 
         if use_pallas:
-            from ref_geotransformer_tpu.models.pallas_kernels import geometric_embedding_pallas
+            from ref_geotransformer_tpu.models.pallas_kernels import make_geometric_embedding_vjp
 
             # materialize the Dense params, then hand their raw arrays to the
             # fused kernel (checkpoint layout unchanged)
@@ -130,8 +130,12 @@ class GeometricStructureEmbedding(nn.Module):
 
             ref_vectors, _ = self._knn_ref_vectors(points, masks)
             ref_vectors = jax.lax.stop_gradient(ref_vectors)
+            # custom-VJP kernel: projection-parameter gradients flow (the
+            # weight permutation above is a differentiable gather, so grads
+            # land back on the Dense params automatically)
+            fn = make_geometric_embedding_vjp(self.sigma_d, self._factor_a())
             outs = [
-                geometric_embedding_pallas(
+                fn(
                     jax.lax.stop_gradient(points[i]),
                     ref_vectors[i],
                     div_term,
@@ -139,8 +143,6 @@ class GeometricStructureEmbedding(nn.Module):
                     pd["bias"],
                     wa_k,
                     pa["bias"],
-                    self.sigma_d,
-                    self._factor_a(),
                 )
                 for i in range(b)
             ]

@@ -172,7 +172,7 @@ class GeoTransformer(nn.Module):
             cfg.geotransformer.sigma_a,
             cfg.geotransformer.angle_k,
             cfg.geotransformer.reduction_a,
-            use_pallas_embedding=False if training else None,  # fwd-only kernel
+            use_pallas_embedding=None,  # auto on TPU; kernel has a custom VJP
             name="transformer",
         )(
             ref_points_c[None], src_points_c[None], ref_feats_c[None], src_feats_c[None],

@@ -9,8 +9,12 @@ processed in groups along the grid.
 geometric_embedding_pallas: the pair-distance + triplet-angle structure
 embedding (geotransformer.py:25-72) fused per (N, N) tile — sinusoid
 features, both linear projections and the angle-k max reduction never touch
-HBM (the XLA path materializes an (N, N, k, C) tensor). Forward-only: the
-model uses it in inference; training keeps the differentiable XLA path.
+HBM (the XLA path materializes an (N, N, k, C) tensor). A custom VJP
+(geometric_embedding_pallas_vjp) provides the projection-parameter gradients
+(the geometric indices are stop-gradient by reference semantics,
+geotransformer.py:25 @torch.no_grad), so training can use the fused kernel
+too; the backward recomputes sinusoids tile-by-tile and accumulates dW/db
+across the grid.
 """
 
 from __future__ import annotations
@@ -195,3 +199,128 @@ def geometric_embedding_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(points, ref_vectors, div_term[None, :], wd, bd[None, :], wa, ba[None, :])
+
+
+def _geo_embedding_bwd_kernel(
+    points_ref, ref_vecs_ref, div_term_ref, wa_ref, ba_ref, g_ref,
+    dwd_ref, dbd_ref, dwa_ref, dba_ref,
+    *, tile_m: int, tile_n: int, sigma_d: float, factor_a: float, angle_k: int, d_model: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        dwd_ref[:] = jnp.zeros_like(dwd_ref)
+        dbd_ref[:] = jnp.zeros_like(dbd_ref)
+        dwa_ref[:] = jnp.zeros_like(dwa_ref)
+        dba_ref[:] = jnp.zeros_like(dba_ref)
+
+    row_pts = points_ref[pl.ds(i * tile_m, tile_m), :]
+    col_pts = points_ref[pl.ds(j * tile_n, tile_n), :]
+    div_term = div_term_ref[0, :]
+    g = g_ref[:].reshape(tile_m * tile_n, d_model)  # (R, C)
+
+    anc = col_pts[None, :, :] - row_pts[:, None, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(anc**2, axis=-1), 0.0))
+
+    def sinusoid(idx):
+        omegas = idx.reshape(tile_m * tile_n, 1) * div_term[None, :]
+        return jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (R, C)
+
+    emb_d = sinusoid(d / sigma_d)
+    dwd_ref[:] += jnp.dot(emb_d.T, g, preferred_element_type=jnp.float32)
+    dbd_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    dba_ref[:] += jnp.sum(g, axis=0, keepdims=True)  # the winning branch always adds b_a
+
+    # recompute all k projections, find the per-channel max, route gradients
+    projs = []
+    embs = []
+    for t in range(angle_k):
+        rv = ref_vecs_ref[pl.ds(i * tile_m, tile_m), t, :]
+        rvb = rv[:, None, :]
+        cross = jnp.cross(rvb, anc)
+        sin_v = jnp.sqrt(jnp.maximum(jnp.sum(cross**2, axis=-1), 0.0))
+        cos_v = jnp.sum(rvb * anc, axis=-1)
+        ang = _atan2_nonneg(sin_v, cos_v) * factor_a
+        e = sinusoid(ang)
+        embs.append(e)
+        projs.append(jnp.dot(e, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0, :])
+    stacked = jnp.stack(projs, axis=0)  # (k, R, C)
+    winners = jnp.max(stacked, axis=0)  # (R, C)
+    # split gradient equally among ties (matches lax.reduce_max's vjp)
+    ties = jnp.sum((stacked == winners[None]).astype(jnp.float32), axis=0)
+    for t in range(angle_k):
+        mask = (projs[t] == winners).astype(jnp.float32) / jnp.maximum(ties, 1.0)
+        dwa_ref[:] += jnp.dot(embs[t].T, g * mask, preferred_element_type=jnp.float32)
+
+
+def _geo_embedding_bwd(
+    points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret=False
+):
+    n = points.shape[0]
+    k = ref_vectors.shape[1]
+    c = wa.shape[0]
+    kernel = functools.partial(
+        _geo_embedding_bwd_kernel,
+        tile_m=tile, tile_n=tile, sigma_d=sigma_d, factor_a=factor_a, angle_k=k, d_model=c,
+    )
+    dwd, dbd, dwa, dba = pl.pallas_call(
+        kernel,
+        grid=(n // tile, n // tile),
+        in_specs=[
+            pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, 3), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(points, ref_vectors, div_term[None, :], wa, ba[None, :], g)
+    return dwd, dbd[0], dwa, dba[0]
+
+
+def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64, interpret: bool = False):
+    """Differentiable (w.r.t. the projection params) fused embedding.
+
+    Returns f(points, ref_vectors, div_term, wd, bd, wa, ba) -> (N, N, C).
+    Gradients flow to wd/bd/wa/ba only (geometry is stop-gradient by
+    reference semantics).
+    """
+
+    @jax.custom_vjp
+    def f(points, ref_vectors, div_term, wd, bd, wa, ba):
+        return geometric_embedding_pallas(
+            points, ref_vectors, div_term, wd, bd, wa, ba, sigma_d, factor_a, tile, interpret
+        )
+
+    def fwd(points, ref_vectors, div_term, wd, bd, wa, ba):
+        out = f(points, ref_vectors, div_term, wd, bd, wa, ba)
+        return out, (points, ref_vectors, div_term, wa, ba)
+
+    def bwd(residuals, g):
+        points, ref_vectors, div_term, wa, ba = residuals
+        dwd, dbd, dwa, dba = _geo_embedding_bwd(
+            points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret
+        )
+        zero_p = jnp.zeros_like(points)
+        zero_r = jnp.zeros_like(ref_vectors)
+        zero_dt = jnp.zeros_like(div_term)
+        return zero_p, zero_r, zero_dt, dwd, dbd, dwa, dba
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -48,21 +48,67 @@ def test_geometric_embedding_pallas_matches_xla():
     variables = mod_xla.init(jax.random.key(0), points, masks)
     expected = np.asarray(mod_xla.apply(variables, points, masks))
 
-    # pallas path in interpret mode (CPU): monkeypatch the kernel entry to
+    # pallas path in interpret mode (CPU): monkeypatch the vjp factory to
     # force interpret
     import ref_geotransformer_tpu.models.pallas_kernels as pk
 
-    orig = pk.geometric_embedding_pallas
+    orig = pk.make_geometric_embedding_vjp
 
-    def interp(*args, **kwargs):
-        kwargs["interpret"] = True
-        return orig(*args, **kwargs)
+    def factory(sigma_d, factor_a, tile=64, interpret=False):
+        return orig(sigma_d, factor_a, tile=tile, interpret=True)
 
-    pk.geometric_embedding_pallas = interp
+    pk.make_geometric_embedding_vjp = factory
     try:
         mod_pl = GeometricStructureEmbedding(c, 0.2, 15.0, k, "max", use_pallas=True)
         got = np.asarray(mod_pl.apply(variables, points, masks))
     finally:
-        pk.geometric_embedding_pallas = orig
+        pk.make_geometric_embedding_vjp = orig
 
     np.testing.assert_allclose(got, expected, atol=2e-3, rtol=2e-3)
+
+
+def test_geometric_embedding_vjp_matches_xla_grads():
+    import numpy as np
+    from ref_geotransformer_tpu.models.embedding import GeometricStructureEmbedding
+    import ref_geotransformer_tpu.models.pallas_kernels as pk
+
+    rng = np.random.default_rng(4)
+    n, c, k = 64, 32, 3
+    points = jnp.array(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
+    masks = jnp.ones((1, n), bool)
+    g_out = jnp.array(rng.normal(size=(1, n, n, c)).astype(np.float32))
+
+    mod_xla = GeometricStructureEmbedding(c, 0.2, 15.0, k, "max", use_pallas=False)
+    variables = mod_xla.init(jax.random.key(0), points, masks)
+
+    def loss_xla(params):
+        out = mod_xla.apply({"params": params}, points, masks)
+        return jnp.sum(out * g_out)
+
+    grads_xla = jax.grad(loss_xla)(variables["params"])
+
+    # force interpret mode inside the vjp factory
+    orig = pk.make_geometric_embedding_vjp
+
+    def factory(sigma_d, factor_a, tile=64, interpret=False):
+        return orig(sigma_d, factor_a, tile=tile, interpret=True)
+
+    pk.make_geometric_embedding_vjp = factory
+    try:
+        mod_pl = GeometricStructureEmbedding(c, 0.2, 15.0, k, "max", use_pallas=True)
+
+        def loss_pl(params):
+            out = mod_pl.apply({"params": params}, points, masks)
+            return jnp.sum(out * g_out)
+
+        grads_pl = jax.grad(loss_pl)(variables["params"])
+    finally:
+        pk.make_geometric_embedding_vjp = orig
+
+    for name in ("proj_d", "proj_a"):
+        for leaf in ("kernel", "bias"):
+            a = np.asarray(grads_xla[name][leaf])
+            b = np.asarray(grads_pl[name][leaf])
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b / scale, a / scale, atol=3e-3,
+                                       err_msg=f"{name}.{leaf}")
