@@ -104,6 +104,11 @@ class DenoisingTransformer(nn.Module):
         """x_t: (B, R, S); t_emb: (B, D); ctx: (B, R, S, D) -> eps: (B, R, S)."""
         b, r, s = x_t.shape
         d = self.n_heads * self.query_dimensions
+        assert ctx.shape[-1] == d, (
+            f"context width {ctx.shape[-1]} must equal the denoiser d_model "
+            f"{d} (= n_heads * query_dimensions; the encoder context is "
+            f"2 * coarse output_dim)"
+        )
         tokens = x_t[..., None] + ctx  # (B, R, S, D)
         tokens = tokens.reshape(b, r * s, d)
         tokens = jnp.concatenate([tokens, t_emb[:, None, :]], axis=1)  # (B, R*S+1, D)

@@ -60,9 +60,11 @@ def test_iter_ddpm_trainer(tmp_path):
     pair0 = jax.tree_util.tree_map(lambda x: x[0], next(iter(loader)))
     _, enc_vars = _make_state(encoder, ensure_pyramids(cfg, pair0), cfg, jax.random.key(0))
 
+    # denoiser d_model must equal the context width 2 * coarse output_dim
     cordi = Cordi(
         ref_sample_num=8, src_sample_num=12, num_steps=5, time_emb_dim=16,
-        n_layers=1, n_heads=2, query_dimensions=8, feed_forward_dimensions=32,
+        n_layers=1, n_heads=2, query_dimensions=cfg.geotransformer.output_dim,
+        feed_forward_dimensions=32,
     )
     # ctx dim = 2 * coarse feature dim
     x0 = jnp.zeros((1, 8, 12))
