@@ -27,7 +27,7 @@ def main():
     from config import LOG_DIR, SNAPSHOT_ENCODER_DIR, make_cfg
     from dataset import train_valid_data_loader
     from ref_geotransformer_tpu.engine.iter_trainer import IterBasedEncoderTrainer, make_warmup_cosine_schedule
-    from ref_geotransformer_tpu.engine.state import TrainState, skip_nonfinite_updates
+    from ref_geotransformer_tpu.engine.state import TrainState, guard_nonfinite
     from ref_geotransformer_tpu.engine.steps import ensure_pyramids
     from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
     from ref_geotransformer_tpu.utils.common import ensure_dir
@@ -46,7 +46,7 @@ def main():
     schedule = make_warmup_cosine_schedule(
         cfg.optim.lr, max_iteration, cfg.optim.warmup_steps, cfg.optim.eta_init, cfg.optim.eta_min
     )
-    tx = optax.chain(skip_nonfinite_updates(), optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
+    tx = guard_nonfinite(optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
     import jax.numpy as jnp
 
     state = TrainState(

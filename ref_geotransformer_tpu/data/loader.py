@@ -124,8 +124,9 @@ class PairLoader:
             try:
                 for batch in self._make_batches():
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # propagate dataset errors to the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
@@ -133,4 +134,6 @@ class PairLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

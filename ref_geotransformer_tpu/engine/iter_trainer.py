@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ref_geotransformer_tpu.engine.checkpoint import CheckpointManager
-from ref_geotransformer_tpu.engine.state import TrainState, skip_nonfinite_updates
+from ref_geotransformer_tpu.engine.state import TrainState, guard_nonfinite
 from ref_geotransformer_tpu.engine.steps import ensure_pyramids
 from ref_geotransformer_tpu.models.cordi import cordi_downsample, get_corr_from_matrix_topk
 from ref_geotransformer_tpu.utils.common import get_log_string

@@ -44,28 +44,21 @@ def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int, lr_scale: float = 1
     )
 
 
-def skip_nonfinite_updates() -> optax.GradientTransformation:
-    """Zero the whole update when any gradient entry is non-finite."""
-
-    def init_fn(params):
-        del params
-        return optax.EmptyState()
-
-    def update_fn(updates, state, params=None):
-        del params
-        flat = jax.tree_util.tree_leaves(updates)
-        finite = jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in flat]))
-        updates = jax.tree_util.tree_map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), updates)
-        return updates, state
-
-    return optax.GradientTransformation(init_fn, update_fn)
+def guard_nonfinite(tx: optax.GradientTransformation, max_consecutive_errors: int = 1000):
+    """Skip the WHOLE optimizer step (params and moments untouched) when any
+    gradient is non-finite — the reference's NaN-grad step skipping
+    (base_trainer.py:240-248) without the ipdb drop."""
+    return optax.apply_if_finite(tx, max_consecutive_errors=max_consecutive_errors)
 
 
 def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, lr_scale: float = 1.0):
     schedule = make_lr_schedule(cfg, steps_per_epoch, lr_scale)
-    tx = optax.chain(
-        skip_nonfinite_updates(),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    # apply_if_finite skips the WHOLE step (params and optimizer moments
+    # untouched) when any gradient is non-finite — the correct analogue of
+    # the reference's NaN-grad step skipping; a guard placed before adamw
+    # would still move params along stale momentum + weight decay.
+    tx = optax.apply_if_finite(
+        optax.adamw(schedule, weight_decay=cfg.weight_decay), max_consecutive_errors=1000
     )
     if cfg.grad_acc_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_acc_steps)

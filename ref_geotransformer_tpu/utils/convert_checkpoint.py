@@ -75,6 +75,12 @@ def torch_key_to_flax(key: str, value: np.ndarray):
     if name == "bias" and len(module_path) > 0 and module_path[-1] == "norm" and value.ndim == 1:
         return "params", module_path + ("bias",), value
 
+    # nn.Embedding (check BEFORE the generic Linear branch: an embedding
+    # table must keep (num_embeddings, dim) layout and flax's name
+    # 'embedding', not a transposed 'kernel')
+    if name == "weight" and value.ndim == 2 and module_path and module_path[-1] == "embeddings":
+        return "params", module_path + ("embedding",), value
+
     # Linear
     if name == "weight" and value.ndim == 2:
         return "params", module_path + ("kernel",), value.T
@@ -82,10 +88,6 @@ def torch_key_to_flax(key: str, value: np.ndarray):
         return "params", module_path + ("scale",), value
     if name == "bias":
         return "params", module_path + ("bias",), value
-
-    # nn.Embedding
-    if name == "embeddings" or (name == "weight" and "embedding" in ".".join(module_path)):
-        return "params", module_path + ("embedding",), value
 
     return None
 

@@ -13,7 +13,7 @@ from ref_geotransformer_tpu.engine.iter_trainer import (
     IterBasedEncoderTrainer,
     make_warmup_cosine_schedule,
 )
-from ref_geotransformer_tpu.engine.state import TrainState, skip_nonfinite_updates
+from ref_geotransformer_tpu.engine.state import TrainState, guard_nonfinite
 from ref_geotransformer_tpu.engine.steps import ensure_pyramids
 from ref_geotransformer_tpu.models import Cordi, GeoTransformer
 from tests.test_trainer_loop import SyntheticPairs
@@ -22,7 +22,7 @@ from tests.utils import tiny_config
 
 def _make_state(model, example, cfg, rng):
     variables = model.init({"params": jax.random.key(0), "target": jax.random.key(1)}, example)
-    tx = optax.chain(skip_nonfinite_updates(), optax.adamw(1e-4))
+    tx = guard_nonfinite(optax.adamw(1e-4))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -70,7 +70,7 @@ def test_iter_ddpm_trainer(tmp_path):
     x0 = jnp.zeros((1, 8, 12))
     ctx = jnp.zeros((1, 8, 12, 2 * cfg.geotransformer.output_dim))
     cvars = cordi.init(jax.random.key(0), x0, ctx)
-    tx = optax.chain(skip_nonfinite_updates(), optax.adamw(1e-4))
+    tx = guard_nonfinite(optax.adamw(1e-4))
     cstate = TrainState(
         step=jnp.zeros((), jnp.int32), params=cvars["params"], buffers={},
         opt_state=tx.init(cvars["params"]), tx=tx,
