@@ -70,9 +70,11 @@ def get_node_correspondences(
     valid_pair = jnp.logical_and(ref_masks[:, None], src_masks[None, :])
     margin = jnp.where(valid_pair, margin, -jnp.inf)
 
-    # top-candidate_limit intersecting pairs by margin
+    # top-candidate_limit intersecting pairs by margin (approx selection:
+    # TPU PartialReduce, exact on CPU; dropped tail candidates are the
+    # least-overlapping pairs, which get overlap ~0 anyway)
     flat_margin = margin.reshape(-1)
-    top_margin, cand = jax.lax.top_k(flat_margin, candidate_limit)
+    top_margin, cand = jax.lax.approx_max_k(flat_margin, candidate_limit)
     cand_valid = top_margin > 0.0
     cand_ref = (cand // n).astype(jnp.int32)
     cand_src = (cand % n).astype(jnp.int32)
@@ -179,10 +181,11 @@ def local_to_global_registration(
         score_mat = score_mat * node_corr_scores[:, None, None]
     score_mat = jnp.where(corr_mat, score_mat, 0.0)  # (P, K, K) weights
 
-    # ---- verification set: global top-C dense correspondences by score ----
+    # ---- verification set: global top-C dense correspondences by score
+    # (approx selection — the tail of the capped set has near-zero scores) ----
     flat_scores = score_mat.reshape(-1)
     c = min(correspondence_limit, flat_scores.shape[0])
-    corr_scores, flat_idx = jax.lax.top_k(flat_scores, c)
+    corr_scores, flat_idx = jax.lax.approx_max_k(flat_scores, c)
     corr_masks = corr_scores > 0.0
     corr_scores = jnp.where(corr_masks, corr_scores, 0.0)
     b_idx = flat_idx // (kk * kk)
