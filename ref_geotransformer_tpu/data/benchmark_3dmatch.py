@@ -126,7 +126,7 @@ def compute_transform_error(transform: np.ndarray, covariance: np.ndarray, estim
     t = relative[:3, 3]
     q = _rotation_to_quaternion(r)
     er = np.concatenate([t, q[1:]], axis=0)
-    return float(er.reshape(1, 6) @ covariance @ er.reshape(6, 1) / covariance[0, 0])
+    return float((er.reshape(1, 6) @ covariance @ er.reshape(6, 1))[0, 0] / covariance[0, 0])
 
 
 def compute_registration_error(gt_transform: np.ndarray, transform: np.ndarray):
