@@ -41,12 +41,13 @@ def parse_args():
     parser.add_argument("--benchmark", choices=["3DMatch", "3DLoMatch", "val"], default="3DMatch")
     parser.add_argument("--method", choices=["lgr", "svd", "ransac"], default="lgr")
     parser.add_argument("--num_corr", type=int, default=None, help="top-k correspondences to keep")
+    parser.add_argument("--feature_dir", default=None, help="override feature dir (default FEATURE_DIR/<benchmark>)")
     parser.add_argument("--verbose", action="store_true")
     return parser.parse_args()
 
 
 def eval_one_epoch(args, cfg):
-    feature_dir = osp.join(FEATURE_DIR, args.benchmark)
+    feature_dir = getattr(args, "feature_dir", None) or osp.join(FEATURE_DIR, args.benchmark)
     benchmark_dir = osp.join(DATASET_ROOT, "metadata", "benchmarks", args.benchmark)
 
     coarse_board = SummaryBoard(adaptive=True)

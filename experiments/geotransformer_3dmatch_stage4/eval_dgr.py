@@ -36,7 +36,7 @@ def main():
         if not osp.isdir(feature_dir):
             continue
         sub_args = SimpleNamespace(
-            benchmark=f"{args.benchmark}-epoch-{epoch}", method=args.method,
+            benchmark=args.benchmark, feature_dir=feature_dir, method=args.method,
             num_corr=args.num_corr, verbose=False,
         )
         summary = eval_one_epoch(sub_args, cfg)

@@ -55,6 +55,14 @@ def main():
         ref_mask_f = np.asarray(output["ref_masks_f"])
         src_mask_f = np.asarray(output["src_masks_f"])
         corr_masks = np.asarray(output["corr_masks"])
+        # everything coarse is dumped in COMPACTED (valid-nodes-only) space so
+        # the offline eval sees self-consistent shapes: compact the GT map and
+        # remap the proposal indices from padded to compact positions
+        ref_remap = np.cumsum(ref_mask_c) - 1
+        src_remap = np.cumsum(src_mask_c) - 1
+        ref_node_corr = ref_remap[np.asarray(output["ref_node_corr_indices"])]
+        src_node_corr = src_remap[np.asarray(output["src_node_corr_indices"])]
+        gt_map = np.asarray(output["gt_node_overlap_map"])[np.ix_(ref_mask_c, src_mask_c)]
         file_name = osp.join(feature_dir, f"{scene_name}_{ref_frame}_{src_frame}.npz")
         np.savez_compressed(
             file_name,
@@ -66,12 +74,12 @@ def main():
             src_points_c=np.asarray(output["src_points_c"])[src_mask_c],
             ref_feats_c=np.asarray(output["ref_feats_c"])[ref_mask_c],
             src_feats_c=np.asarray(output["src_feats_c"])[src_mask_c],
-            ref_node_corr_indices=np.asarray(output["ref_node_corr_indices"]),
-            src_node_corr_indices=np.asarray(output["src_node_corr_indices"]),
+            ref_node_corr_indices=ref_node_corr,
+            src_node_corr_indices=src_node_corr,
             ref_corr_points=np.asarray(output["ref_corr_points"])[corr_masks],
             src_corr_points=np.asarray(output["src_corr_points"])[corr_masks],
             corr_scores=np.asarray(output["corr_scores"])[corr_masks],
-            gt_node_corr_overlaps=np.asarray(output["gt_node_overlap_map"]),
+            gt_node_corr_overlaps=gt_map,
             estimated_transform=np.asarray(output["estimated_transform"]),
             transform=np.asarray(data["transform"]),
             overlap=meta.get("overlap", 1.0),

@@ -32,10 +32,22 @@ def pack_single(data: Dict, capacity: int) -> Dict:
     return packed
 
 
+def _fit_capacity(points: np.ndarray, capacity: int) -> np.ndarray:
+    """Random-truncate a cloud that exceeds the static capacity (deterministic
+    per cloud: seeded from its size) — the capacity analogue of the
+    reference's dataset point_limit truncation; raising would kill val/test
+    runs whose configs set point_limit=None."""
+    n = points.shape[0]
+    if n <= capacity:
+        return points
+    rng = np.random.default_rng(n)
+    return points[rng.permutation(n)[:capacity]]
+
+
 def pack_pair(data: Dict, capacity: int) -> Dict:
     """Pad one dataset item to the raw-cloud capacity."""
-    ref_points, ref_masks = pad_points(data["ref_points"], capacity)
-    src_points, src_masks = pad_points(data["src_points"], capacity)
+    ref_points, ref_masks = pad_points(_fit_capacity(data["ref_points"], capacity), capacity)
+    src_points, src_masks = pad_points(_fit_capacity(data["src_points"], capacity), capacity)
     packed = {
         "ref_points": ref_points,
         "ref_masks": ref_masks,
@@ -79,7 +91,8 @@ class PairLoader:
         self.shard_index = shard_index
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.num_shards
+        # this shard's actual index count: ceil-partition like _indices
+        n = len(range(self.shard_index, len(self.dataset), self.num_shards))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -94,13 +107,18 @@ class PairLoader:
         indices = self._indices()
         for start in range(0, len(indices), self.batch_size):
             chunk = indices[start : start + self.batch_size]
-            if len(chunk) < self.batch_size:
+            real = len(chunk)
+            if real < self.batch_size:
                 if self.drop_last:
                     return
-                # repeat-pad the final batch to the static batch size
-                chunk = np.concatenate([chunk, chunk[: self.batch_size - len(chunk)]])
+                # repeat-pad the final batch to the static batch size; the
+                # '_pair_masks' entry lets steps down-weight the duplicates
+                chunk = np.concatenate([chunk, chunk[: self.batch_size - real]])
             items = [pack_pair(self.dataset[int(i)], self.capacity) for i in chunk]
             batch = {k: np.stack([it[k] for it in items], 0) for k in items[0]}
+            pair_masks = np.zeros(self.batch_size, bool)
+            pair_masks[:real] = True
+            batch["_pair_masks"] = pair_masks
             yield batch
 
     def iter_single(self) -> Iterator[tuple]:

@@ -27,17 +27,13 @@ def np_inverse_transform(transform: np.ndarray) -> np.ndarray:
 
 
 def random_sample_rotation(rotation_factor: float = 1.0, rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Uniform-ish random rotation scaled by rotation_factor
-    (utils/pointcloud.py:112-123: random axis + angle in [0, 2pi*factor))."""
+    """Random rotation from zyx Euler angles in [0, 2pi/rotation_factor)
+    (utils/pointcloud.py:112-117 semantics: LARGER factor = SMALLER rotations)."""
+    from scipy.spatial.transform import Rotation
+
     rng = rng or np.random.default_rng()
-    axis = rng.normal(size=3)
-    axis /= np.linalg.norm(axis) + 1e-12
-    theta = rng.uniform(0.0, 2 * np.pi) * rotation_factor
-    k = np.array(
-        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]], dtype=np.float64
-    )
-    rot = np.eye(3) + np.sin(theta) * k + (1 - np.cos(theta)) * (k @ k)
-    return rot.astype(np.float32)
+    euler = rng.random(3) * 2.0 * np.pi / rotation_factor
+    return Rotation.from_euler("zyx", euler).as_matrix().astype(np.float32)
 
 
 def random_sample_rotation_v2(rng: Optional[np.random.Generator] = None) -> np.ndarray:

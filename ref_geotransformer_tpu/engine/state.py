@@ -53,12 +53,14 @@ def guard_nonfinite(tx: optax.GradientTransformation, max_consecutive_errors: in
 
 def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, lr_scale: float = 1.0):
     schedule = make_lr_schedule(cfg, steps_per_epoch, lr_scale)
-    # apply_if_finite skips the WHOLE step (params and optimizer moments
-    # untouched) when any gradient is non-finite — the correct analogue of
-    # the reference's NaN-grad step skipping; a guard placed before adamw
-    # would still move params along stale momentum + weight decay.
+    # Faithful port of torch.optim.Adam(lr, weight_decay): L2 decay is added
+    # to the GRADIENT before Adam's moment normalization (coupled decay), not
+    # AdamW's decoupled decay. apply_if_finite skips the WHOLE step (params
+    # and moments untouched) on non-finite gradients — the reference's
+    # NaN-grad step skipping.
     tx = optax.apply_if_finite(
-        optax.adamw(schedule, weight_decay=cfg.weight_decay), max_consecutive_errors=1000
+        optax.chain(optax.add_decayed_weights(cfg.weight_decay), optax.adam(schedule)),
+        max_consecutive_errors=1000,
     )
     if cfg.grad_acc_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_acc_steps)

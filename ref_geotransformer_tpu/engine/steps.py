@@ -64,12 +64,19 @@ def make_train_step(
         return losses
 
     def step(state, batch, rng):
+        batch = dict(batch)
+        pair_masks = batch.pop("_pair_masks", None)  # repeat-padded final batches
         batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, batch_size)
 
         def mean_loss(params):
             losses = jax.vmap(lambda d, r: loss_for_pair(params, state.buffers, d, r))(batch, rngs)
-            losses = jax.tree_util.tree_map(jnp.mean, losses)
+            if pair_masks is not None:
+                w = pair_masks.astype(jnp.float32)
+                denom = jnp.maximum(jnp.sum(w), 1.0)
+                losses = jax.tree_util.tree_map(lambda x: jnp.sum(x * w) / denom, losses)
+            else:
+                losses = jax.tree_util.tree_map(jnp.mean, losses)
             return losses["loss"], losses
 
         grads, losses = jax.grad(mean_loss, has_aux=True)(state.params)
@@ -100,7 +107,13 @@ def make_eval_step(model, cfg: GeoTransformerConfig, mesh: Optional[Mesh] = None
         return {**losses, **metrics}
 
     def step(state, batch):
+        batch = dict(batch)
+        pair_masks = batch.pop("_pair_masks", None)
         metrics = jax.vmap(lambda d: eval_pair(state.params, state.buffers, d))(batch)
+        if pair_masks is not None:
+            w = pair_masks.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            return jax.tree_util.tree_map(lambda x: jnp.sum(x * w) / denom, metrics)
         return jax.tree_util.tree_map(jnp.mean, metrics)
 
     if mesh is None:

@@ -118,7 +118,7 @@ class GeoTransformer(nn.Module):
 
         # ---- 2. GT node correspondences (model.py:110-121) ----
         if transform is not None:
-            gt_overlap_map = get_node_correspondences(
+            gt_overlap_map, gt_ambiguous_map = get_node_correspondences(
                 ref_points_c,
                 src_points_c,
                 ref_node_knn_points,
@@ -132,6 +132,7 @@ class GeoTransformer(nn.Module):
                 candidate_limit=cfg.capacities.gt_candidates,
             )
             output["gt_node_overlap_map"] = gt_overlap_map
+            output["gt_node_ambiguous_map"] = gt_ambiguous_map
 
         # ---- 3. KPConv-FPN backbone over the stacked pair (model.py:127) ----
         backbone = nn.vmap(

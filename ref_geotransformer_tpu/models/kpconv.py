@@ -30,6 +30,26 @@ from ref_geotransformer_tpu.ops.index import masked_gather
 _SHADOW = 1e6
 
 
+def _pack_points_feats(s_points: jnp.ndarray, s_feats: jnp.ndarray, compute_dtype):
+    """Build the single gather table. In bf16 mode the f32 coordinates are
+    BITCAST into pairs of bf16 lanes (exact bits, no quantization — casting
+    absolute coordinates to bf16 would put ~1 cm errors into the influence
+    geometry); features are value-cast. Returns (table, coord_width)."""
+    if compute_dtype is None:
+        return jnp.concatenate([s_points, s_feats], axis=1), 3
+    n = s_points.shape[0]
+    coord_bits = jax.lax.bitcast_convert_type(s_points, compute_dtype).reshape(n, 6)
+    return jnp.concatenate([coord_bits, s_feats.astype(compute_dtype)], axis=1), 6
+
+
+def _unpack_points(gathered: jnp.ndarray, coord_width: int) -> jnp.ndarray:
+    """Recover f32 coordinates from the gathered table prefix."""
+    if coord_width == 3:
+        return gathered[..., :3]
+    bits = gathered[..., :6].reshape(gathered.shape[:-1] + (3, 2))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _kaiming_uniform(key, shape, dtype=jnp.float32):
     """torch kaiming_uniform_(a=sqrt(5)) on a (K, Cin, Cout) weight: fan_in =
     K * Cin (torch counts dim-1 as in-channels with receptive field dim0)."""
@@ -74,12 +94,10 @@ class KPConv(nn.Module):
         # instead of the reference's +inf shadow point (same result: zero
         # influence, kpconv.py:91-100).
         valid = neighbor_indices < s_points.shape[0]  # (M, H)
-        table = jnp.concatenate([s_points, s_feats], axis=1)
-        if self.compute_dtype is not None:
-            table = table.astype(self.compute_dtype)
-        gathered = masked_gather(table, neighbor_indices, fill_value=0.0)  # (M, H, 3+C)
-        neighbors = gathered[..., :3].astype(jnp.float32) - q_points[:, None, :]
-        neighbor_feats = gathered[..., 3:]
+        table, cw = _pack_points_feats(s_points, s_feats, self.compute_dtype)
+        gathered = masked_gather(table, neighbor_indices, fill_value=0.0)  # (M, H, cw+C)
+        neighbors = _unpack_points(gathered, cw) - q_points[:, None, :]
+        neighbor_feats = gathered[..., cw:]
         return self.aggregate(neighbors, neighbor_feats, valid)
 
     def aggregate(self, neighbors, neighbor_feats, valid):
@@ -262,13 +280,13 @@ class ResidualBlock(nn.Module):
             # of the raw input over the same indices — fuse into ONE gather
             # (gather cost is per-row, not per-byte, on TPU)
             valid = neighbor_indices < s_points.shape[0]
-            table = jnp.concatenate([s_points, x, s_feats], axis=1)
-            if self.compute_dtype is not None:
-                table = table.astype(self.compute_dtype)
+            table, cw = _pack_points_feats(
+                s_points, jnp.concatenate([x, s_feats.astype(x.dtype)], axis=1), self.compute_dtype
+            )
             gathered = masked_gather(table, neighbor_indices, fill_value=0.0)
-            neighbors = gathered[..., :3].astype(jnp.float32) - q_points[:, None, :]
-            x = conv.aggregate(neighbors, gathered[..., 3 : 3 + mid], valid)
-            shortcut = jnp.max(gathered[..., 3 + mid :].astype(s_feats.dtype), axis=1)
+            neighbors = _unpack_points(gathered, cw) - q_points[:, None, :]
+            x = conv.aggregate(neighbors, gathered[..., cw : cw + mid], valid)
+            shortcut = jnp.max(gathered[..., cw + mid :].astype(s_feats.dtype), axis=1)
         else:
             x = conv(x, q_points, s_points, neighbor_indices)
             shortcut = s_feats

@@ -91,6 +91,10 @@ def coarse_matching_loss(
     valid = jnp.logical_and(output["ref_node_masks"][:, None], output["src_node_masks"][None, :])
     pos_masks = jnp.logical_and(overlaps > cfg.positive_overlap, valid)
     neg_masks = jnp.logical_and(overlaps == 0.0, valid)
+    if "gt_node_ambiguous_map" in output:
+        # intersecting pairs whose overlap was not computed (candidate-cap
+        # overflow) must not be trained as negatives
+        neg_masks = jnp.logical_and(neg_masks, jnp.logical_not(output["gt_node_ambiguous_map"]))
     pos_scales = jnp.sqrt(overlaps * pos_masks.astype(overlaps.dtype))
     return weighted_circle_loss(
         pos_masks,

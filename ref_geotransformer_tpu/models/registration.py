@@ -43,12 +43,16 @@ def get_node_correspondences(
     ref_knn_masks: jnp.ndarray,
     src_knn_masks: jnp.ndarray,
     candidate_limit: int = 2048,
-) -> jnp.ndarray:
-    """Dense (M, N) ground-truth patch-overlap map.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense (M, N) ground-truth patch-overlap map + ambiguity mask.
 
     overlap(i, j) = mean of (fraction of ref patch-i points with a match in
     src patch j, and vice versa), after transforming src by the GT transform;
-    a pair of points matches when closer than pos_radius.
+    a pair of points matches when closer than pos_radius. Exact overlaps are
+    computed for the top-`candidate_limit` sphere-intersecting pairs; any
+    intersecting pair that did NOT get an exact overlap is returned in the
+    ambiguous mask so the coarse loss can exclude it from the negatives
+    (the reference evaluates every intersecting pair, matching.py:292-320).
     """
     m = ref_nodes.shape[0]
     n = src_nodes.shape[0]
@@ -70,11 +74,10 @@ def get_node_correspondences(
     valid_pair = jnp.logical_and(ref_masks[:, None], src_masks[None, :])
     margin = jnp.where(valid_pair, margin, -jnp.inf)
 
-    # top-candidate_limit intersecting pairs by margin (approx selection:
-    # TPU PartialReduce, exact on CPU; dropped tail candidates are the
-    # least-overlapping pairs, which get overlap ~0 anyway)
+    # top-candidate_limit intersecting pairs by margin (exact selection:
+    # these are training labels)
     flat_margin = margin.reshape(-1)
-    top_margin, cand = jax.lax.approx_max_k(flat_margin, candidate_limit)
+    top_margin, cand = jax.lax.top_k(flat_margin, candidate_limit)
     cand_valid = top_margin > 0.0
     cand_ref = (cand // n).astype(jnp.int32)
     cand_src = (cand % n).astype(jnp.int32)
@@ -97,7 +100,13 @@ def get_node_correspondences(
 
     overlap_map = jnp.zeros((m, n), ref_nodes.dtype)
     overlap_map = overlap_map.at[cand_ref, cand_src].max(overlaps)
-    return overlap_map
+
+    # intersecting pairs whose exact overlap was NOT computed (capacity
+    # overflow): unknown label — neither positive nor negative
+    evaluated = jnp.zeros((m, n), bool)
+    evaluated = evaluated.at[cand_ref, cand_src].max(cand_valid)
+    ambiguous_map = jnp.logical_and(margin > 0.0, jnp.logical_not(evaluated))
+    return overlap_map, ambiguous_map
 
 
 class LGRResult(NamedTuple):
@@ -167,16 +176,29 @@ def local_to_global_registration(
             reference's optional correspondence_limit; fixed here for static
             shapes).
     """
-    if matching_scores.shape[1] == ref_knn_points.shape[1] + 1:
-        matching_scores = matching_scores[:, :-1, :-1]
-    score_mat = jnp.exp(matching_scores)  # (P, K, K)
+    has_dustbin = matching_scores.shape[1] == ref_knn_points.shape[1] + 1
+    if use_dustbin and has_dustbin:
+        # reference semantics (local_global_registration.py:56-84): run the
+        # top-k/mutual selection WITH the dustbin row/col present (so a point
+        # whose best matches include the dustbin is suppressed), then strip it
+        score_full = jnp.exp(matching_scores)
+        b = matching_scores.shape[0]
+        row_masks_d = jnp.concatenate([ref_knn_masks, jnp.ones((b, 1), bool)], axis=1)
+        col_masks_d = jnp.concatenate([src_knn_masks, jnp.ones((b, 1), bool)], axis=1)
+        corr_full = compute_correspondence_matrix(
+            score_full, row_masks_d, col_masks_d, k, mutual, confidence_threshold
+        )
+        corr_mat = corr_full[:, :-1, :-1]
+        score_mat = score_full[:, :-1, :-1]
+    else:
+        if has_dustbin:
+            matching_scores = matching_scores[:, :-1, :-1]
+        score_mat = jnp.exp(matching_scores)  # (P, K, K)
+        corr_mat = compute_correspondence_matrix(
+            score_mat, ref_knn_masks, src_knn_masks, k, mutual, confidence_threshold
+        )
     p, kk, _ = score_mat.shape
 
-    corr_mat = compute_correspondence_matrix(
-        score_mat, ref_knn_masks, src_knn_masks, k, mutual, confidence_threshold
-    )
-    if use_dustbin:
-        pass  # dustbin column already stripped above
     if use_global_score:
         score_mat = score_mat * node_corr_scores[:, None, None]
     score_mat = jnp.where(corr_mat, score_mat, 0.0)  # (P, K, K) weights

@@ -98,3 +98,21 @@ def test_log_roundtrip_and_scene_eval(tmp_path):
     )
     assert result["recall"] == 1.0 and result["precision"] == 1.0
     assert result["num_gt_pairs"] == 1  # consecutive pair excluded
+
+
+def test_sparse_correspondence_eval_shapes_match_dump_format():
+    """The offline eval consumes compacted coarse dumps (test.py after_test_step):
+    points_c (S,3), corr indices in compact space, gt map (S_ref, S_src)."""
+    from ref_geotransformer_tpu.utils.registration import evaluate_sparse_correspondences
+
+    s_ref, s_src = 11, 13
+    ref_pts = rng.normal(size=(s_ref, 3))
+    src_pts = rng.normal(size=(s_src, 3))
+    gt_map = np.zeros((s_ref, s_src), np.float32)
+    gt_map[2, 3] = 0.4
+    gt_map[5, 7] = 0.2
+    ref_idx = np.array([2, 5, 9])
+    src_idx = np.array([3, 7, 1])
+    out = evaluate_sparse_correspondences(ref_pts, src_pts, ref_idx, src_idx, gt_map)
+    np.testing.assert_allclose(out["PIR"], 2 / 3)
+    assert 0 <= out["hit_ratio"] <= 1

@@ -126,3 +126,39 @@ def test_superpoint_matching_dual_normalization_manual():
     assert set(si.tolist()) == {0}
     # best pair: ref 0 <-> src 0 (identical features)
     assert ri[0] == 0 and scores[0] >= scores[1] > 0
+
+
+def test_kpconv_bf16_coordinates_exact():
+    """bf16 mode bitcasts f32 coordinates through the gather — influence
+    geometry must be exact; only feature values are quantized."""
+    from ref_geotransformer_tpu.models.kpconv import ResidualBlock
+
+    n, h, cin, cout = 32, 6, 8, 16
+    rng = np.random.default_rng(1)
+    s_points = jnp.array(rng.uniform(-3, 3, (n, 3)).astype(np.float32))  # large coords
+    q_points = s_points[:8]
+    s_feats = jnp.array(rng.uniform(0.1, 1.0, (n, cin)).astype(np.float32))
+    idx = jnp.array(rng.integers(0, n, (8, h)).astype(np.int32))
+    masks = jnp.ones((8,), bool)
+    s_masks = jnp.ones((n,), bool)
+
+    blk32 = ResidualBlock(cin, cout, 5, radius=0.05, sigma=0.05, group_norm=4, strided=True)
+    blk16 = ResidualBlock(cin, cout, 5, radius=0.05, sigma=0.05, group_norm=4, strided=True,
+                          compute_dtype=jnp.bfloat16)
+    variables = blk32.init(jax.random.key(0), s_feats, q_points, s_points, idx, masks, s_masks)
+    out32 = np.asarray(blk32.apply(variables, s_feats, q_points, s_points, idx, masks, s_masks))
+    out16 = np.asarray(blk16.apply(variables, s_feats, q_points, s_points, idx, masks, s_masks))
+    # with tiny sigma vs meter-scale coords, a bf16-cast coordinate would
+    # flip influence weights entirely; bit-exact coords keep outputs close
+    assert np.isfinite(out16).all()
+    np.testing.assert_allclose(out16, out32, rtol=0.08, atol=0.08)
+
+    # gradients flow through the bf16 fused gather (bitcast branch is
+    # constant wrt params)
+    def loss(p):
+        return jnp.sum(blk16.apply({"params": p, "buffers": variables["buffers"]},
+                                   s_feats, q_points, s_points, idx, masks, s_masks) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
