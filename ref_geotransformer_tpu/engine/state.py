@@ -2,11 +2,13 @@
 
 Ref parity: the reference registers Adam(lr, weight_decay) + StepLR
 (experiments/.../trainval.py:31-34) and scales LR by world size
-(engine/base_trainer.py:210-215). Here: optax adamw + exponential staircase
-decay; `lr_scale` carries the world-size rule (replicas == data-axis size).
-The reference's NaN/Inf gradient check (base_trainer.py:240-248) maps to
-`skip_nonfinite_updates`, which zeroes the update when any grad is
-non-finite instead of dropping into ipdb.
+(engine/base_trainer.py:210-215). Here: optax adam with coupled L2 decay
+(add_decayed_weights before adam — exactly torch Adam's weight_decay) +
+exponential staircase decay; `lr_scale` carries the world-size rule
+(replicas == data-axis size). The reference's NaN/Inf gradient check
+(base_trainer.py:240-248) maps to `guard_nonfinite` (optax.apply_if_finite):
+the whole step is skipped, params and moments untouched, instead of dropping
+into ipdb.
 """
 
 from __future__ import annotations
