@@ -113,7 +113,12 @@ def main():
             src_corr_points=np.asarray(out["src_corr_points"]),
             corr_scores=np.asarray(out["corr_scores"]),
         )
-        print(f"dumped outputs to {args.dump}")
+        # before/after clouds for any PLY viewer (open3d-free)
+        from ref_geotransformer_tpu.utils.visualization import dump_registration_ply
+
+        prefix = args.dump[:-4] if args.dump.endswith(".npz") else args.dump
+        dump_registration_ply(prefix, ref_raw, src_raw, np.asarray(out["estimated_transform"]))
+        print(f"dumped outputs to {args.dump} (+ {prefix}_*.ply)")
 
 
 if __name__ == "__main__":

@@ -162,3 +162,38 @@ def test_kpconv_bf16_coordinates_exact():
     g = jax.grad(loss)(variables["params"])
     total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_lgr_use_dustbin_suppresses_dustbin_lovers():
+    """With use_dustbin=True the top-k/mutual selection runs on the (K+1,K+1)
+    matrix: a point whose best match is the dustbin must yield no
+    correspondence (reference local_global_registration.py:56-84)."""
+    from ref_geotransformer_tpu.models.registration import local_to_global_registration
+
+    p, k = 2, 4
+    rng2 = np.random.default_rng(2)
+    ref_pts = jnp.array(rng2.normal(size=(p, k, 3)).astype(np.float32))
+    src_pts = ref_pts + 0.01
+    masks = jnp.ones((p, k), bool)
+
+    # log-scores with dustbin: row 0 of patch 0 loves the dustbin
+    scores = np.full((p, k + 1, k + 1), -4.0, np.float32)
+    for i in range(k):
+        scores[:, i, i] = 0.0  # diagonal matches
+    scores[0, 0, k] = 3.0  # ref point 0 strongly prefers the dustbin
+    scores[0, 0, 0] = -1.0
+    scores = jnp.array(scores)
+
+    res_with = local_to_global_registration(
+        ref_pts, src_pts, masks, masks, scores, jnp.ones((p,)),
+        k=1, acceptance_radius=0.1, use_dustbin=True, correspondence_threshold=1,
+        correspondence_limit=16,
+    )
+    res_without = local_to_global_registration(
+        ref_pts, src_pts, masks, masks, scores, jnp.ones((p,)),
+        k=1, acceptance_radius=0.1, use_dustbin=False, correspondence_threshold=1,
+        correspondence_limit=16,
+    )
+    # dustbin-aware selection yields fewer correspondences (ref point 0 of
+    # patch 0 is suppressed)
+    assert int(np.asarray(res_with.corr_masks).sum()) < int(np.asarray(res_without.corr_masks).sum())
