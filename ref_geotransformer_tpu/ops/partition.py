@@ -75,8 +75,11 @@ def point_to_node_partition(
     occupied_node_masks = jnp.any(ownership, axis=1)
 
     owned_sq = jnp.where(ownership, sq, _FILL)
-    neg_top, node_knn_indices = jax.lax.top_k(-owned_sq, point_limit)
-    node_knn_masks = (-neg_top) < _FILL
+    # TPU PartialReduce selection (exact on CPU); at worst it swaps the
+    # patch's farthest member — the reference truncates patches to the K
+    # nearest owned points anyway (pointcloud_partition.py:95-99)
+    top_sq, node_knn_indices = jax.lax.approx_min_k(owned_sq, point_limit)
+    node_knn_masks = top_sq < _FILL
     node_knn_indices = jnp.where(node_knn_masks, node_knn_indices.astype(jnp.int32), jnp.int32(n))
 
     if return_count:
