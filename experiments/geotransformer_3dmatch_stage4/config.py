@@ -48,7 +48,10 @@ def make_cfg(demo: bool = False) -> GeoTransformerConfig:
     capacities = CapacityConfig(
         points=(20480, 6144, 2048, 512) if demo else (30720, 10240, 3072, 1024),
         neighbor_limits=(38, 36, 36, 38),
-        gt_candidates=2048,
+        # training-label coverage: pairs beyond the cap fall into the
+        # ambiguous mask (excluded from negatives), so the cap only trades
+        # label completeness for memory — 4096 covers full-size fragments
+        gt_candidates=2048 if demo else 4096,
         correspondence_limit=8192,
         search_chunk=2048,
     )
