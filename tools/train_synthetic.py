@@ -45,6 +45,9 @@ def main():
         rng, sub = jax.random.split(rng)
         state, losses = step(state, batch, sub)
     last = float(losses["loss"])
+    # force full synchronization: fetching only the loss does NOT wait for
+    # the optimizer update on async backends — sync on a parameter leaf
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
     dt = (time.time() - t0) / max(args.steps - 1, 1)
     print(f"{args.steps} steps: {dt * 1e3:.1f} ms/step  loss {first:.4f} -> {last:.4f}", flush=True)
     assert np.isfinite(last)
