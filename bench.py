@@ -32,6 +32,14 @@ def main():
     import dataclasses
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu even where a site plugin pins the platform list
+    if os.environ.get("JAX_PLATFORMS", "").strip().startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from config import make_cfg
@@ -39,17 +47,33 @@ def main():
     from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
 
     cfg = make_cfg(demo=True)
-    # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4
+    # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4 BENCH_SMOKE=1
     bench_dtype = os.environ.get("BENCH_DTYPE", cfg.backbone.dtype)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    smoke = os.environ.get("BENCH_SMOKE") == "1"  # tiny caps: contract test on CPU
     if bench_dtype != cfg.backbone.dtype:
         cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, dtype=bench_dtype))
+    if smoke:
+        from ref_geotransformer_tpu.config import CapacityConfig
+
+        cfg = cfg.replace(
+            capacities=CapacityConfig(
+                points=(1024, 384, 160, 128),
+                neighbor_limits=tuple(min(nl, 128) for nl in cfg.capacities.neighbor_limits),
+                gt_candidates=512,
+                correspondence_limit=1024,
+                search_chunk=256,
+            )
+        )
     root = osp.dirname(osp.abspath(__file__))
     ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
     src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
     gt = np.load(osp.join(root, "data", "demo", "gt.npy")).astype(np.float32)
 
     cap0 = cfg.capacities.points[0]
+    if smoke:
+        ref_raw = ref_raw[: cap0 - 64]
+        src_raw = src_raw[: cap0 - 64]
     ref_p, ref_m = pad_points(ref_raw, cap0)
     src_p, src_m = pad_points(src_raw, cap0)
 
