@@ -42,6 +42,11 @@ def torch_key_to_flax(key: str, value: np.ndarray):
     if parts[-1] == "kernel_points":
         return "buffers", tuple(parts[:-1]) + ("kernel_points",), value
 
+    # SinusoidalPositionalEmbedding.div_term is a deterministic function of
+    # d_model (positional_embedding.py:14-17); we recompute it, never load it.
+    if parts[-1] == "div_term":
+        return None
+
     # sinkhorn alpha
     if parts[-1] == "alpha":
         return "params", tuple(parts[:-1]) + ("alpha",), value
@@ -112,9 +117,12 @@ def convert_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, Dict]:
 
 
 def _dedup_norm(path):
+    # torch nests its GroupNorm wrapper's inner nn.GroupNorm one level deeper
+    # (kpconv/modules.py: UnaryBlock.norm.norm, ResidualBlock.norm_conv.norm);
+    # our flax MaskedGroupNorm is a single module — collapse the inner 'norm'.
     out = []
     for p in path:
-        if p == "norm" and out and out[-1] == "norm":
+        if p == "norm" and out and out[-1] in ("norm", "norm_conv"):
             continue
         out.append(p)
     return out
