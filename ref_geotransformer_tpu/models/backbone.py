@@ -43,6 +43,9 @@ class KPConvFPN(nn.Module):
     num_stages: int = 4
     fine_level: int = 1
     compute_dtype: object = None  # e.g. jnp.bfloat16 for KPConv MXU paths
+    # vmap axis name for joint ref+src GroupNorm statistics (the reference's
+    # stack-mode GroupNorm mixes both clouds of a pair; see models/norms.py)
+    norm_axis_name: object = None
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, data: Dict) -> List[jnp.ndarray]:
@@ -69,9 +72,11 @@ class KPConvFPN(nn.Module):
 
         # stage 1
         x = ConvBlock(self.input_dim, d, self.kernel_size, r, sig, self.group_norm,
-                      compute_dtype=self.compute_dtype, name="encoder1_1")(feats, points[0], points[0], neighbors[0], masks[0])
+                      compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                      name="encoder1_1")(feats, points[0], points[0], neighbors[0], masks[0])
         x = ResidualBlock(d, 2 * d, self.kernel_size, r, sig, self.group_norm,
-                          compute_dtype=self.compute_dtype, name="encoder1_2")(x, points[0], points[0], neighbors[0], masks[0])
+                          compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                          name="encoder1_2")(x, points[0], points[0], neighbors[0], masks[0])
         skip_feats.append(x)
 
         # stages 2..S
@@ -80,14 +85,17 @@ class KPConvFPN(nn.Module):
             cin = d * (2 ** (stage - 1))
             cout = d * (2**stage)
             x = ResidualBlock(cin, cin, self.kernel_size, r, sig, self.group_norm, strided=True,
-                              compute_dtype=self.compute_dtype, name=f"encoder{stage}_1")(
+                              compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                              name=f"encoder{stage}_1")(
                 x, points[lvl], points[lvl - 1], subsampling[lvl - 1], masks[lvl], masks[lvl - 1])
             r *= 2.0
             sig *= 2.0
             x = ResidualBlock(cin, cout, self.kernel_size, r, sig, self.group_norm,
-                              compute_dtype=self.compute_dtype, name=f"encoder{stage}_2")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
+                              compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                              name=f"encoder{stage}_2")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
             x = ResidualBlock(cout, cout, self.kernel_size, r, sig, self.group_norm,
-                              compute_dtype=self.compute_dtype, name=f"encoder{stage}_3")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
+                              compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                              name=f"encoder{stage}_3")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
             skip_feats.append(x)
 
         feats_list = [skip_feats[-1]]  # coarsest
@@ -101,6 +109,7 @@ class KPConvFPN(nn.Module):
             else:
                 dec_dim = d * (2 ** (lvl + 1))
                 latent = UnaryBlock(cat_dim, dec_dim, self.group_norm,
+                                    norm_axis_name=self.norm_axis_name,
                                     name=f"decoder{lvl + 1}")(latent, masks[lvl])
             feats_list.append(latent)
 

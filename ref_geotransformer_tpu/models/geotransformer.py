@@ -141,6 +141,7 @@ class GeoTransformer(nn.Module):
             out_axes=0,
             variable_axes={"params": None, "buffers": None},
             split_rngs={"params": False, "buffers": False},
+            axis_name="pair_norm",
         )(
             cfg.backbone.input_dim,
             cfg.backbone.output_dim,
@@ -152,6 +153,7 @@ class GeoTransformer(nn.Module):
             cfg.backbone.num_stages,
             cfg.backbone.fine_level,
             jnp.bfloat16 if cfg.backbone.dtype == "bfloat16" else None,
+            norm_axis_name="pair_norm",
             name="backbone",
         )
         feats = jnp.stack([data["ref_feats"], data["src_feats"]], axis=0)  # (2, N0, C)

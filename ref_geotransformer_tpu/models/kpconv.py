@@ -194,6 +194,7 @@ class UnaryBlock(nn.Module):
     has_relu: bool = True
     use_bias: bool = True
     layer_norm: bool = False
+    norm_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, masks: Optional[jnp.ndarray] = None):
@@ -201,7 +202,8 @@ class UnaryBlock(nn.Module):
         if self.layer_norm:
             x = nn.LayerNorm(name="norm")(x)
         else:
-            x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, masks)
+            x = MaskedGroupNorm(self.group_norm, self.out_channels,
+                                axis_name=self.norm_axis_name, name="norm")(x, masks)
         if self.has_relu:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -232,6 +234,7 @@ class ConvBlock(nn.Module):
     use_bias: bool = True
     layer_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    norm_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None):
@@ -242,7 +245,8 @@ class ConvBlock(nn.Module):
         if self.layer_norm:
             x = nn.LayerNorm(name="norm")(x)
         else:
-            x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_masks)
+            x = MaskedGroupNorm(self.group_norm, self.out_channels,
+                                axis_name=self.norm_axis_name, name="norm")(x, q_masks)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -260,6 +264,7 @@ class ResidualBlock(nn.Module):
     use_bias: bool = True
     layer_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    norm_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None, s_masks=None):
@@ -269,7 +274,8 @@ class ResidualBlock(nn.Module):
 
         if self.in_channels != mid:
             x = UnaryBlock(self.in_channels, mid, self.group_norm, use_bias=self.use_bias,
-                           layer_norm=self.layer_norm, name="unary1")(s_feats, s_masks)
+                           layer_norm=self.layer_norm, norm_axis_name=self.norm_axis_name,
+                           name="unary1")(s_feats, s_masks)
         else:
             x = s_feats
 
@@ -293,14 +299,17 @@ class ResidualBlock(nn.Module):
         if self.layer_norm:
             x = nn.LayerNorm(name="norm_conv")(x)
         else:
-            x = MaskedGroupNorm(self.group_norm, mid, name="norm_conv")(x, q_masks)
+            x = MaskedGroupNorm(self.group_norm, mid,
+                                axis_name=self.norm_axis_name, name="norm_conv")(x, q_masks)
         x = nn.leaky_relu(x, 0.1)
 
         x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False,
-                       use_bias=self.use_bias, layer_norm=self.layer_norm, name="unary2")(x, q_masks)
+                       use_bias=self.use_bias, layer_norm=self.layer_norm,
+                       norm_axis_name=self.norm_axis_name, name="unary2")(x, q_masks)
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(self.in_channels, self.out_channels, self.group_norm, has_relu=False,
                                   use_bias=self.use_bias, layer_norm=self.layer_norm,
+                                  norm_axis_name=self.norm_axis_name,
                                   name="unary_shortcut")(shortcut, q_masks)
 
         return nn.leaky_relu(x + shortcut, 0.1)

@@ -21,11 +21,19 @@ class MaskedGroupNorm(nn.Module):
 
     Statistics per group g: mean/var over {x[n, c] : masks[n], c in group g},
     matching torch.nn.GroupNorm applied to the unpadded (1, C, N) tensor.
+
+    `axis_name`: the reference's stack mode concatenates ref+src into ONE
+    tensor, so its GroupNorm moments mix both clouds of a pair
+    (modules.py:46-50). Our backbone vmaps over the 2-cloud axis instead;
+    naming that axis and summing the moment accumulators across it with
+    lax.psum reproduces the joint statistics exactly (required for converted
+    reference checkpoints to be bit-compatible).
     """
 
     num_groups: int
     num_channels: int
     epsilon: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -37,13 +45,17 @@ class MaskedGroupNorm(nn.Module):
 
         xg = x.reshape(n, g, c // g)
         if masks is None:
-            mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-            var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
+            w = jnp.ones((n, 1, 1), x.dtype)
         else:
             w = masks.astype(x.dtype)[:, None, None]
-            denom = jnp.maximum(jnp.sum(w) * (c // g), 1.0)
-            mean = jnp.sum(xg * w, axis=(0, 2), keepdims=True) / denom
-            var = jnp.sum(w * (xg - mean) ** 2, axis=(0, 2), keepdims=True) / denom
+        count = jnp.sum(w) * (c // g)
+        s1 = jnp.sum(xg * w, axis=(0, 2), keepdims=True)
+        s2 = jnp.sum(jnp.square(xg) * w, axis=(0, 2), keepdims=True)
+        if self.axis_name is not None:
+            count, s1, s2 = (jax.lax.psum(t, self.axis_name) for t in (count, s1, s2))
+        denom = jnp.maximum(count, 1.0)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         out = xg.reshape(n, c) * scale + bias
         if masks is not None:

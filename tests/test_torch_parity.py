@@ -329,6 +329,242 @@ def test_weighted_circle_loss_parity():
 
 
 # ---------------------------------------------------------------------------
+# Full-forward parity (experiments/geotransformer.3dmatch.../model.py:69-212)
+# ---------------------------------------------------------------------------
+
+
+def _jax_parity_config(pcfg, capacities, neighbor_limits):
+    from ref_geotransformer_tpu.config import (
+        BackboneConfig,
+        CapacityConfig,
+        CoarseMatchingConfig,
+        FineMatchingConfig,
+        GeoTransformerConfig,
+        GeoTransformerModuleConfig,
+        ModelConfig,
+    )
+
+    return GeoTransformerConfig(
+        capacities=CapacityConfig(
+            points=capacities,
+            neighbor_limits=neighbor_limits,
+            gt_candidates=4096,
+            correspondence_limit=2048,
+            search_chunk=512,
+        ),
+        backbone=BackboneConfig(
+            num_stages=pcfg.backbone.num_stages,
+            init_voxel_size=pcfg.backbone.init_voxel_size,
+            kernel_size=pcfg.backbone.kernel_size,
+            base_radius=pcfg.backbone.base_radius,
+            base_sigma=pcfg.backbone.base_sigma,
+            group_norm=pcfg.backbone.group_norm,
+            input_dim=pcfg.backbone.input_dim,
+            init_dim=pcfg.backbone.init_dim,
+            output_dim=pcfg.backbone.output_dim,
+            fine_level=1,
+            dtype="float32",
+        ),
+        model=ModelConfig(
+            ground_truth_matching_radius=pcfg.model.ground_truth_matching_radius,
+            num_points_in_patch=pcfg.model.num_points_in_patch,
+            num_sinkhorn_iterations=pcfg.model.num_sinkhorn_iterations,
+        ),
+        coarse_matching=CoarseMatchingConfig(
+            num_targets=pcfg.coarse_matching.num_targets,
+            overlap_threshold=pcfg.coarse_matching.overlap_threshold,
+            num_correspondences=pcfg.coarse_matching.num_correspondences,
+            dual_normalization=pcfg.coarse_matching.dual_normalization,
+        ),
+        geotransformer=GeoTransformerModuleConfig(
+            input_dim=pcfg.geotransformer.input_dim,
+            hidden_dim=pcfg.geotransformer.hidden_dim,
+            output_dim=pcfg.geotransformer.output_dim,
+            num_heads=pcfg.geotransformer.num_heads,
+            blocks=tuple(pcfg.geotransformer.blocks),
+            sigma_d=pcfg.geotransformer.sigma_d,
+            sigma_a=pcfg.geotransformer.sigma_a,
+            angle_k=pcfg.geotransformer.angle_k,
+            reduction_a=pcfg.geotransformer.reduction_a,
+        ),
+        fine_matching=FineMatchingConfig(
+            topk=pcfg.fine_matching.topk,
+            acceptance_radius=pcfg.fine_matching.acceptance_radius,
+            mutual=pcfg.fine_matching.mutual,
+            confidence_threshold=pcfg.fine_matching.confidence_threshold,
+            use_dustbin=pcfg.fine_matching.use_dustbin,
+            use_global_score=pcfg.fine_matching.use_global_score,
+            correspondence_threshold=pcfg.fine_matching.correspondence_threshold,
+            num_refinement_steps=pcfg.fine_matching.num_refinement_steps,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def full_forward_outputs():
+    """Run the reference experiment model and ours on identical inputs
+    (identical pyramid tables, converted random-init weights); yields both
+    output dicts plus the valid counts."""
+    from scipy.spatial.transform import Rotation
+
+    from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
+    from ref_geotransformer_tpu.models import GeoTransformer
+
+    pcfg = torch_ref.make_parity_cfg()
+    capacities = (1024, 1024, 384, 64)
+    neighbor_limits = (30, 30, 30, 30)
+    jcfg = _jax_parity_config(pcfg, capacities, neighbor_limits)
+
+    # synthetic pair: a noisy surface in [0, 0.6]^3 so every pyramid level is
+    # populated (~27 coarse nodes at voxel 0.2)
+    rng = np.random.default_rng(42)
+    base = rng.uniform(0.0, 0.6, (900, 3)).astype(np.float32)
+    base[:, 2] = 0.3 + 0.15 * np.sin(8.0 * base[:, 0]) + 0.2 * base[:, 1] ** 2
+
+    rot = Rotation.from_euler("xyz", rng.uniform(-25, 25, 3), degrees=True).as_matrix()
+    t = rng.uniform(-0.1, 0.1, 3)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = rot.astype(np.float32)
+    gt[:3, 3] = t.astype(np.float32)
+
+    ref_raw = base[rng.choice(900, 700, replace=False)] + rng.normal(0, 0.002, (700, 3)).astype(np.float32)
+    src_raw = ((base[rng.choice(900, 680, replace=False)] - gt[:3, 3]) @ gt[:3, :3]).astype(np.float32)
+    src_raw += rng.normal(0, 0.002, src_raw.shape).astype(np.float32)
+
+    ref_p, ref_m = pad_points(ref_raw.astype(np.float32), capacities[0])
+    src_p, src_m = pad_points(src_raw, capacities[0])
+    data = build_registration_inputs(
+        jnp.asarray(ref_p), jnp.asarray(ref_m), jnp.asarray(src_p), jnp.asarray(src_m),
+        jcfg.backbone.num_stages, jcfg.backbone.init_voxel_size, jcfg.backbone.init_radius,
+        neighbor_limits, capacities, transform=jnp.asarray(gt),
+        search_chunk=jcfg.capacities.search_chunk,
+    )
+
+    torch_data = torch_ref.stacked_data_from_ours(data, gt)
+
+    model_mod = torch_ref.ref_experiment()
+    torch.manual_seed(11)
+    ref_model = model_mod.GeoTransformer(pcfg).eval()
+    with torch.no_grad():
+        theirs = ref_model(torch_data)
+
+    variables = torch_ref.torch_state_to_variables(ref_model)
+    ours_model = GeoTransformer(jcfg)
+    init_vars = ours_model.init(
+        {"params": jax.random.key(0), "target": jax.random.key(1)}, data
+    )
+    torch_ref.assert_tree_shapes_match(variables["params"], init_vars["params"], "params")
+    torch_ref.assert_tree_shapes_match(variables["buffers"], init_vars["buffers"], "buffers")
+    ours = ours_model.apply(variables, data)
+
+    counts = {
+        "nr": [int(np.asarray(m).sum()) for m in data["ref"]["masks"]],
+        "ns": [int(np.asarray(m).sum()) for m in data["src"]["masks"]],
+    }
+    return ours, theirs, counts, jcfg
+
+
+def test_full_forward_backbone_parity(full_forward_outputs):
+    ours, theirs, counts, jcfg = full_forward_outputs
+    f = jcfg.backbone.fine_level
+    allclose(
+        np.asarray(ours["ref_feats_f"])[: counts["nr"][f]], theirs["ref_feats_f"],
+        atol=1e-4, name="ref_feats_f",
+    )
+    allclose(
+        np.asarray(ours["src_feats_f"])[: counts["ns"][f]], theirs["src_feats_f"],
+        atol=1e-4, name="src_feats_f",
+    )
+
+
+def test_full_forward_coarse_feats_parity(full_forward_outputs):
+    ours, theirs, counts, _ = full_forward_outputs
+    allclose(
+        np.asarray(ours["ref_feats_c"])[: counts["nr"][-1]], theirs["ref_feats_c"],
+        atol=1e-4, name="ref_feats_c",
+    )
+    allclose(
+        np.asarray(ours["src_feats_c"])[: counts["ns"][-1]], theirs["src_feats_c"],
+        atol=1e-4, name="src_feats_c",
+    )
+
+
+def test_full_forward_proposals_parity(full_forward_outputs):
+    ours, theirs, _, _ = full_forward_outputs
+    ours_pairs = sorted(
+        zip(
+            np.asarray(ours["ref_node_corr_indices"]).tolist(),
+            np.asarray(ours["src_node_corr_indices"]).tolist(),
+        )
+    )
+    theirs_pairs = sorted(
+        zip(
+            theirs["ref_node_corr_indices"].numpy().tolist(),
+            theirs["src_node_corr_indices"].numpy().tolist(),
+        )
+    )
+    assert ours_pairs == theirs_pairs
+
+
+def test_full_forward_matching_scores_parity(full_forward_outputs):
+    ours, theirs, _, jcfg = full_forward_outputs
+    n_nodes = jcfg.capacities.points[-1]
+
+    def order(ref_idx, src_idx):
+        return np.argsort(np.asarray(ref_idx) * n_nodes + np.asarray(src_idx))
+
+    ours_order = order(ours["ref_node_corr_indices"], ours["src_node_corr_indices"])
+    theirs_order = order(
+        theirs["ref_node_corr_indices"].numpy(), theirs["src_node_corr_indices"].numpy()
+    )
+    ours_scores = np.asarray(ours["matching_scores"])[ours_order]
+    theirs_scores = theirs["matching_scores"].numpy()[theirs_order]
+    # compare on slots valid in both (our padded patch slots hold the
+    # sentinel-fill convention; the reference's hold its shadow fill)
+    ours_masks = np.concatenate(
+        [
+            np.asarray(ours["ref_node_corr_knn_masks"])[ours_order],
+            np.ones((len(ours_order), 1), bool),
+        ],
+        axis=1,
+    )
+    src_masks = np.concatenate(
+        [
+            np.asarray(ours["src_node_corr_knn_masks"])[ours_order],
+            np.ones((len(ours_order), 1), bool),
+        ],
+        axis=1,
+    )
+    sel = ours_masks[:, :, None] & src_masks[:, None, :]
+    err = np.max(np.abs(np.where(sel, ours_scores - theirs_scores, 0.0)))
+    assert err < 1e-3, f"matching scores max abs err {err:.3e}"
+
+
+def test_full_forward_transform_parity(full_forward_outputs):
+    from ref_geotransformer_tpu.ops.metrics import isotropic_transform_error
+
+    ours, theirs, _, _ = full_forward_outputs
+    ours_tf = jnp.asarray(np.asarray(ours["estimated_transform"], np.float32))
+    theirs_tf = jnp.asarray(theirs["estimated_transform"].numpy())
+    rre, rte = (float(v) for v in isotropic_transform_error(ours_tf, theirs_tf))
+    assert rre < 0.05, f"estimated transforms diverge: RRE {rre:.4f} deg"
+    assert rte < 1e-3, f"estimated transforms diverge: RTE {rte:.5f}"
+
+
+def test_full_forward_gt_correspondences_parity(full_forward_outputs):
+    ours, theirs, _, _ = full_forward_outputs
+    overlap = np.asarray(ours["gt_node_overlap_map"])
+    ambiguous = np.asarray(ours["gt_node_ambiguous_map"])
+    t_idx = theirs["gt_node_corr_indices"].numpy()
+    t_ov = theirs["gt_node_corr_overlaps"].numpy()
+    dense_theirs = np.zeros_like(overlap)
+    dense_theirs[t_idx[:, 0], t_idx[:, 1]] = t_ov
+    sel = ~ambiguous
+    err = np.max(np.abs(np.where(sel, overlap - dense_theirs, 0.0)))
+    assert err < 1e-5, f"gt overlap map max err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
 # point_to_node partition + GT node correspondences
 # (modules/ops/pointcloud_partition.py, modules/registration/matching.py)
 # ---------------------------------------------------------------------------

@@ -186,6 +186,57 @@ def make_parity_cfg():
     return cfg
 
 
+def stacked_data_from_ours(data, transform) -> dict:
+    """Convert OUR padded per-cloud pyramid dict into the reference's
+    stack-mode data_dict (utils/data.py:143-193 layout): per level, points are
+    [ref_valid; src_valid] concatenated, lengths = [n_ref, n_src], neighbor
+    tables remapped (our per-cloud sentinel == capacity becomes the stacked
+    shadow index == total valid count at the support level).
+
+    Feeding our tables to BOTH implementations guarantees identical inputs, so
+    any output disagreement is model math, not pipeline differences.
+    """
+    import torch
+
+    ref, src = data["ref"], data["src"]
+    num_levels = len(ref["points"])
+    nr = [int(np.asarray(m).sum()) for m in ref["masks"]]
+    ns = [int(np.asarray(m).sum()) for m in src["masks"]]
+
+    out = {"points": [], "lengths": [], "neighbors": [], "subsampling": [], "upsampling": []}
+    for i in range(num_levels):
+        pr = np.asarray(ref["points"][i])[: nr[i]]
+        ps = np.asarray(src["points"][i])[: ns[i]]
+        out["points"].append(torch.from_numpy(np.concatenate([pr, ps], axis=0)))
+        out["lengths"].append(torch.tensor([nr[i], ns[i]], dtype=torch.int64))
+
+    def remap(tbl_ref, tbl_src, q_level, s_level):
+        tr = np.asarray(tbl_ref)[: nr[q_level]].astype(np.int64)
+        ts = np.asarray(tbl_src)[: ns[q_level]].astype(np.int64)
+        # our convention: real neighbors index compacted valid rows
+        # (< count); empty slots hold sentinel == support capacity
+        cap_r = np.asarray(ref["points"][s_level]).shape[0]
+        cap_s = np.asarray(src["points"][s_level]).shape[0]
+        assert np.all((tr < nr[s_level]) | (tr == cap_r)), "ref neighbor table has stray indices"
+        assert np.all((ts < ns[s_level]) | (ts == cap_s)), "src neighbor table has stray indices"
+        shadow = nr[s_level] + ns[s_level]
+        mr = np.where(tr < nr[s_level], tr, shadow)
+        ms = np.where(ts < ns[s_level], ts + nr[s_level], shadow)
+        return torch.from_numpy(np.concatenate([mr, ms], axis=0))
+
+    for i in range(num_levels):
+        out["neighbors"].append(remap(ref["neighbors"][i], src["neighbors"][i], i, i))
+        if i < num_levels - 1:
+            out["subsampling"].append(
+                remap(ref["subsampling"][i], src["subsampling"][i], i + 1, i)
+            )
+            out["upsampling"].append(remap(ref["upsampling"][i], src["upsampling"][i], i, i + 1))
+
+    out["features"] = torch.ones((nr[0] + ns[0], 1), dtype=torch.float32)
+    out["transform"] = torch.from_numpy(np.asarray(transform, np.float32))
+    return out
+
+
 def torch_state_to_variables(module) -> dict:
     """Reference nn.Module random-init state dict -> our flax variables."""
     from ref_geotransformer_tpu.utils.convert_checkpoint import convert_state_dict
