@@ -71,6 +71,7 @@ class IterBasedEncoderTrainer:
         log_file: Optional[str] = None,
         log_steps: int = 10,
         seed: int = 7351,
+        corr_dump_dir: Optional[str] = None,
     ):
         from ref_geotransformer_tpu.engine.steps import make_eval_step, make_train_step
 
@@ -92,14 +93,33 @@ class IterBasedEncoderTrainer:
         self.rng = jax.random.key(seed)
         self.train_step = train_step or make_train_step(model, cfg)
         self.eval_step = eval_step or make_eval_step(model, cfg)
+        # val-time correspondence PLY dumps (ref parity:
+        # iter_based_trainer.py:137-140 `save_corr_pcd`); opt-in via dir
+        self.corr_dump_dir = corr_dump_dir
+        self._corr_forward = None
+
+    def _dump_corr_pcd(self, batch) -> None:
+        from ref_geotransformer_tpu.engine.steps import make_forward_fn
+        from ref_geotransformer_tpu.utils.visualization import save_corr_pcd
+
+        if self._corr_forward is None:
+            self._corr_forward = make_forward_fn(self.model, self.cfg)
+        pair = {
+            k: v[0] for k, v in batch.items() if k != "_pair_masks"
+        }  # first pair of the batch
+        output = jax.device_get(self._corr_forward(self.state.params, self.state.buffers, pair))
+        ir = save_corr_pcd(output, self.corr_dump_dir, prefix=f"iter{self.iteration}-")
+        self.logger.info(f"[Val] saved correspondence PLYs (coarse IR {ir:.3f}) to {self.corr_dump_dir}")
 
     def validate(self) -> Dict:
         if self.val_loader is None:
             return {}
         board = SummaryBoard(adaptive=True)
-        for batch in itertools.islice(iter(self.val_loader), self.val_iters):
+        for i, batch in enumerate(itertools.islice(iter(self.val_loader), self.val_iters)):
             metrics = jax.device_get(self.eval_step(self.state, batch))
             board.update_from_result_dict(metrics)
+            if i == 0 and self.corr_dump_dir is not None:
+                self._dump_corr_pcd(batch)
         summary = board.summary()
         self.logger.info("[Val] " + get_log_string(summary, iteration=self.iteration))
         return summary

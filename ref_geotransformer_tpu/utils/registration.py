@@ -145,11 +145,27 @@ def evaluate_sparse_correspondences(
     }
 
 
+def compute_correspondence_residual(
+    ref_corr_points: np.ndarray, src_corr_points: np.ndarray, transform: np.ndarray
+) -> float:
+    """Mean distance between corresponding points under the GT transform
+    (utils/registration.py:227-232)."""
+    if ref_corr_points.shape[0] == 0:
+        return 0.0
+    residuals = np.linalg.norm(
+        ref_corr_points - apply_transform_np(src_corr_points, transform), axis=1
+    )
+    return float(np.mean(residuals))
+
+
 def evaluate_correspondences(
     ref_corr_points: np.ndarray, src_corr_points: np.ndarray, transform: np.ndarray, positive_radius: float = 0.1
 ) -> Dict:
-    """Fine correspondence metrics (utils/registration.py:240-250)."""
+    """Fine correspondence metrics (utils/registration.py:240-250): overlap of
+    the correspondence sets, inlier ratio, mean residual, count."""
     return {
         "num_corr": int(ref_corr_points.shape[0]),
         "IR": compute_inlier_ratio(ref_corr_points, src_corr_points, transform, positive_radius),
+        "overlap": compute_overlap(ref_corr_points, src_corr_points, transform, positive_radius),
+        "residual": compute_correspondence_residual(ref_corr_points, src_corr_points, transform),
     }

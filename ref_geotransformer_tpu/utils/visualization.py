@@ -78,3 +78,78 @@ def dump_registration_ply(
     write_ply(path_prefix + "_ref.ply", ref_points, blue)
     write_ply(path_prefix + "_src.ply", src_points, orange)
     write_ply(path_prefix + "_src_aligned.ply", aligned, green)
+
+
+def write_ply_lines(
+    path: str, points: np.ndarray, edges: np.ndarray, color: Optional[np.ndarray] = None
+) -> None:
+    """ASCII PLY line-set writer (vertex + edge elements — the open3d-free
+    analogue of o3d.io.write_line_set)."""
+    n, m = points.shape[0], edges.shape[0]
+    rgb = (np.clip(color, 0, 1) * 255).astype(np.uint8) if color is not None else None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element edge {m}\n")
+        f.write("property int vertex1\nproperty int vertex2\n")
+        if rgb is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for p in points:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        for e in edges:
+            if rgb is not None:
+                f.write(f"{int(e[0])} {int(e[1])} {rgb[0]} {rgb[1]} {rgb[2]}\n")
+            else:
+                f.write(f"{int(e[0])} {int(e[1])}\n")
+
+
+def _corr_lineset(src_pcd: np.ndarray, tgt_pcd: np.ndarray, pairs: np.ndarray):
+    """(P, 2) [ref_idx, src_idx] pairs -> interleaved endpoints + edges."""
+    points = np.empty((2 * len(pairs), 3), np.float32)
+    points[0::2] = src_pcd[pairs[:, 1]]
+    points[1::2] = tgt_pcd[pairs[:, 0]]
+    edges = np.stack([np.arange(0, 2 * len(pairs), 2), np.arange(1, 2 * len(pairs), 2)], axis=1)
+    return points, edges
+
+
+def save_corr_pcd(output: dict, out_dir: str, prefix: str = "") -> float:
+    """Dump coarse clouds + GT / predicted / inlier / outlier correspondence
+    line sets as PLY files (ref parity: linemod/bop_utils.py:364-441
+    `save_corr_pcd`, the encoder trainer's val-time dump, open3d-free).
+
+    `output` is OUR model output dict (padded, with masks and the dense GT
+    overlap map). Returns the coarse inlier ratio among predictions.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ref_node_masks = np.asarray(output["ref_node_masks"])
+    src_node_masks = np.asarray(output["src_node_masks"])
+    tgt_pcd = np.asarray(output["ref_points_c"])
+    src_pcd = np.asarray(output["src_points_c"])
+
+    write_ply(os.path.join(out_dir, f"{prefix}pcd_frame.ply"), tgt_pcd[ref_node_masks])
+    write_ply(os.path.join(out_dir, f"{prefix}pcd_model.ply"), src_pcd[src_node_masks])
+
+    ref_idx = np.asarray(output["ref_node_corr_indices"])
+    src_idx = np.asarray(output["src_node_corr_indices"])
+    if "node_corr_masks" in output:
+        keep = np.asarray(output["node_corr_masks"]).astype(bool)
+        ref_idx, src_idx = ref_idx[keep], src_idx[keep]
+    pred_pairs = np.stack([ref_idx, src_idx], axis=1)
+
+    gt_map = np.asarray(output["gt_node_overlap_map"]) > 0.0
+    gt_pairs = np.argwhere(gt_map)
+
+    is_inlier = gt_map[pred_pairs[:, 0], pred_pairs[:, 1]]
+    for name, pairs, color in (
+        ("line_gt", gt_pairs, np.array([0.0, 1.0, 0.0])),
+        ("line_pred", pred_pairs, np.array([0.0, 0.8, 0.2])),
+        ("line_inlier", pred_pairs[is_inlier], np.array([0.0, 1.0, 0.0])),
+        ("line_outlier", pred_pairs[~is_inlier], np.array([1.0, 0.0, 0.0])),
+    ):
+        points, edges = _corr_lineset(src_pcd, tgt_pcd, pairs.astype(np.int64))
+        write_ply_lines(os.path.join(out_dir, f"{prefix}{name}.ply"), points, edges, color)
+    return float(np.mean(is_inlier)) if len(is_inlier) else 0.0

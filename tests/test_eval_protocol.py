@@ -116,3 +116,30 @@ def test_sparse_correspondence_eval_shapes_match_dump_format():
     out = evaluate_sparse_correspondences(ref_pts, src_pts, ref_idx, src_idx, gt_map)
     np.testing.assert_allclose(out["PIR"], 2 / 3)
     assert 0 <= out["hit_ratio"] <= 1
+
+
+def test_save_corr_pcd(tmp_path):
+    """Val-time correspondence dump (ref parity: bop_utils.py:364-441)."""
+    import numpy as np
+
+    from ref_geotransformer_tpu.utils.visualization import save_corr_pcd
+
+    rng = np.random.default_rng(0)
+    n = 20
+    output = {
+        "ref_points_c": rng.normal(size=(n, 3)).astype(np.float32),
+        "src_points_c": rng.normal(size=(n, 3)).astype(np.float32),
+        "ref_node_masks": np.ones(n, bool),
+        "src_node_masks": np.ones(n, bool),
+        "ref_node_corr_indices": np.array([0, 1, 2, 3]),
+        "src_node_corr_indices": np.array([0, 1, 2, 3]),
+        "gt_node_overlap_map": np.eye(n, dtype=np.float32) * np.concatenate(
+            [np.ones(2), np.zeros(n - 2)]
+        ),
+    }
+    ir = save_corr_pcd(output, str(tmp_path))
+    assert ir == 0.5  # 2 of the 4 predicted pairs are GT
+    for name in ("pcd_frame", "pcd_model", "line_gt", "line_pred", "line_inlier", "line_outlier"):
+        path = tmp_path / f"{name}.ply"
+        assert path.exists()
+        assert path.read_text().startswith("ply")

@@ -98,6 +98,16 @@ def test_eval_one_epoch_on_synthetic_dumps(tmp_path, monkeypatch):
     assert summary["IR"] == pytest.approx(1.0)
     assert summary["FMR"] == pytest.approx(1.0)
     assert summary["RR"] == pytest.approx(1.0)
+    # reference protocol superset (eval.py:241-344): PMR buckets, overlap,
+    # scene-wise breakdown, medians, FMR std over scenes
+    for bucket in ("PMR>0", "PMR>=0.1", "PMR>=0.3", "PMR>=0.5"):
+        assert summary[bucket] == pytest.approx(1.0)
+    assert summary["OV"] == pytest.approx(1.0)
+    assert summary["median_rre"] == pytest.approx(0.0, abs=1e-3)
+    assert summary["median_rte"] == pytest.approx(0.0, abs=1e-3)
+    assert summary["FMR_std"] == pytest.approx(0.0)
+    (scene_abbr,) = summary["scenes"].keys()
+    assert summary["scenes"][scene_abbr]["RR"] == pytest.approx(1.0)
 
     # svd method also recovers the transform from perfect correspondences
     args_svd = SimpleNamespace(benchmark="3DMatch", feature_dir=str(feature_dir), method="svd",
