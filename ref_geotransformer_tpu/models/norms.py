@@ -48,14 +48,20 @@ class MaskedGroupNorm(nn.Module):
             w = jnp.ones((n, 1, 1), x.dtype)
         else:
             w = masks.astype(x.dtype)[:, None, None]
+        # two-pass moments (E[(x-mean)^2], NOT the one-pass E[x^2]-mean^2
+        # shortcut, which loses ~4 digits in f32 when |mean| >> std and
+        # breaks torch parity at 2e-5); each pass psums across the cloud
+        # axis so joint ref+src statistics stay exact
         count = jnp.sum(w) * (c // g)
         s1 = jnp.sum(xg * w, axis=(0, 2), keepdims=True)
-        s2 = jnp.sum(jnp.square(xg) * w, axis=(0, 2), keepdims=True)
         if self.axis_name is not None:
-            count, s1, s2 = (jax.lax.psum(t, self.axis_name) for t in (count, s1, s2))
+            count, s1 = (jax.lax.psum(t, self.axis_name) for t in (count, s1))
         denom = jnp.maximum(count, 1.0)
         mean = s1 / denom
-        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+        sq = jnp.sum(w * jnp.square(xg - mean), axis=(0, 2), keepdims=True)
+        if self.axis_name is not None:
+            sq = jax.lax.psum(sq, self.axis_name)
+        var = sq / denom
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         out = xg.reshape(n, c) * scale + bias
         if masks is not None:
