@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-graph-compile e2e tier
+
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
@@ -28,6 +30,6 @@ def test_bench_prints_one_json_line():
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"expected one line, got: {lines}"
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["value"] > 0
     assert payload["unit"] == "pairs/sec/chip"

@@ -35,6 +35,7 @@ def test_variance_schedule_matches_manual():
     assert np.all(np.isfinite(np.asarray(vs.sigmas_inflex)))
 
 
+@pytest.mark.slow
 def test_cordi_loss_and_sample():
     model = tiny_cordi()
     rng = jax.random.key(0)

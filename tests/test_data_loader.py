@@ -72,6 +72,7 @@ def test_iter_single_meta():
     assert pair["ref_points"].ndim == 2
 
 
+@pytest.mark.slow
 def test_calibration_tools():
     ds = FakeDataset(n=3)
     caps = calibrate_capacities(ds, num_stages=3, voxel_size=0.05, num_samples=3, align=64)

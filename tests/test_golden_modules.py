@@ -128,6 +128,7 @@ def test_superpoint_matching_dual_normalization_manual():
     assert ri[0] == 0 and scores[0] >= scores[1] > 0
 
 
+@pytest.mark.slow
 def test_kpconv_bf16_coordinates_exact():
     """bf16 mode bitcasts f32 coordinates through the gather — influence
     geometry must be exact; only feature values are quantized."""

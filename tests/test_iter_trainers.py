@@ -19,6 +19,8 @@ from ref_geotransformer_tpu.models import Cordi, GeoTransformer
 from tests.test_trainer_loop import SyntheticPairs
 from tests.utils import tiny_config
 
+pytestmark = pytest.mark.slow  # multi-graph-compile e2e tier
+
 
 def _make_state(model, example, cfg, rng):
     variables = model.init({"params": jax.random.key(0), "target": jax.random.key(1)}, example)

@@ -30,6 +30,7 @@ def test_forward_shapes(setup):
     assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
 
 
+@pytest.mark.slow
 def test_loss_finite_and_grads(setup):
     cfg, data, gt, model, variables = setup
 

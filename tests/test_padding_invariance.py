@@ -14,6 +14,8 @@ from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
 from ref_geotransformer_tpu.models import GeoTransformer
 from tests.utils import tiny_config, synthetic_pair
 
+pytestmark = pytest.mark.slow  # multi-graph-compile e2e tier
+
 
 def build_at_caps(cfg, ref_raw, src_raw, gt):
     caps = cfg.capacities

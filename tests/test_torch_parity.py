@@ -464,6 +464,7 @@ def full_forward_outputs():
     return ours, theirs, counts, jcfg
 
 
+@pytest.mark.slow
 def test_full_forward_backbone_parity(full_forward_outputs):
     ours, theirs, counts, jcfg = full_forward_outputs
     f = jcfg.backbone.fine_level
@@ -477,6 +478,7 @@ def test_full_forward_backbone_parity(full_forward_outputs):
     )
 
 
+@pytest.mark.slow
 def test_full_forward_coarse_feats_parity(full_forward_outputs):
     ours, theirs, counts, _ = full_forward_outputs
     allclose(
@@ -489,6 +491,7 @@ def test_full_forward_coarse_feats_parity(full_forward_outputs):
     )
 
 
+@pytest.mark.slow
 def test_full_forward_proposals_parity(full_forward_outputs):
     ours, theirs, _, _ = full_forward_outputs
     ours_pairs = sorted(
@@ -506,6 +509,7 @@ def test_full_forward_proposals_parity(full_forward_outputs):
     assert ours_pairs == theirs_pairs
 
 
+@pytest.mark.slow
 def test_full_forward_matching_scores_parity(full_forward_outputs):
     ours, theirs, _, jcfg = full_forward_outputs
     n_nodes = jcfg.capacities.points[-1]
@@ -540,6 +544,7 @@ def test_full_forward_matching_scores_parity(full_forward_outputs):
     assert err < 1e-3, f"matching scores max abs err {err:.3e}"
 
 
+@pytest.mark.slow
 def test_full_forward_transform_parity(full_forward_outputs):
     from ref_geotransformer_tpu.ops.metrics import isotropic_transform_error
 
@@ -551,6 +556,7 @@ def test_full_forward_transform_parity(full_forward_outputs):
     assert rte < 1e-3, f"estimated transforms diverge: RTE {rte:.5f}"
 
 
+@pytest.mark.slow
 def test_full_forward_gt_correspondences_parity(full_forward_outputs):
     ours, theirs, _, _ = full_forward_outputs
     overlap = np.asarray(ours["gt_node_overlap_map"])

@@ -12,6 +12,8 @@ from ref_geotransformer_tpu.engine.steps import ensure_pyramids
 from ref_geotransformer_tpu.models import GeoTransformer
 from tests.utils import tiny_config, synthetic_pair
 
+pytestmark = pytest.mark.slow  # multi-graph-compile e2e tier
+
 
 class SyntheticPairs:
     """Dataset-shaped wrapper over synthetic_pair raw clouds."""

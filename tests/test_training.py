@@ -11,6 +11,8 @@ from ref_geotransformer_tpu.engine.iter_trainer import make_warmup_cosine_schedu
 from ref_geotransformer_tpu.models import GeoTransformer
 from tests.utils import tiny_config, synthetic_pair
 
+pytestmark = pytest.mark.slow  # multi-graph-compile e2e tier
+
 
 def test_overfit_single_pair_loss_decreases():
     cfg = tiny_config()
