@@ -18,6 +18,7 @@ def main():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--max_iteration", type=int, default=None)
+    parser.add_argument("--snapshot_steps", type=int, default=None)
     parser.add_argument("--use_modelnet", action="store_true", help="train on ModelNet pairs instead of LineMod")
     args = parser.parse_args()
 
@@ -65,7 +66,7 @@ def main():
         train_loader,
         valid_loader,
         max_iteration=max_iteration,
-        snapshot_steps=cfg.optim.snapshot_steps,
+        snapshot_steps=args.snapshot_steps or cfg.optim.snapshot_steps,
         snapshot_dir=SNAPSHOT_ENCODER_DIR,
         log_file=osp.join(LOG_DIR, "train_encoder.log"),
         seed=cfg.seed,
