@@ -107,6 +107,19 @@ def main():
     # alone is unreliable over the axon tunnel)
     jax.device_get(run(*args))
 
+    # analytic FLOPs from the compiled module (XLA cost analysis) -> MFU.
+    # Peak is the bf16 MXU rate of the bench chip (v5e: 197 TFLOP/s);
+    # override with BENCH_PEAK_TFLOPS for other hardware.
+    flops_per_exec = None
+    try:
+        ca = run.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_exec = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    peak_flops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+
     iters = 20
     t0 = time.time()
     for _ in range(iters):
@@ -115,16 +128,18 @@ def main():
     dt = (time.time() - t0) / iters
     pairs_per_sec = batch / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "3dmatch_demo_pairs_per_sec",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/sec/chip",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "3dmatch_demo_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "batch": batch,
+        "dtype": bench_dtype,
+    }
+    if flops_per_exec:
+        payload["gflops_per_pair"] = round(flops_per_exec / batch / 1e9, 2)
+        payload["mfu_pct"] = round(100.0 * flops_per_exec / dt / peak_flops, 3)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

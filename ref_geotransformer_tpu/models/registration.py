@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ref_geotransformer_tpu.models.procrustes import weighted_procrustes
+from ref_geotransformer_tpu.ops import selection
 from ref_geotransformer_tpu.ops.pairwise import pairwise_distance
 from ref_geotransformer_tpu.ops.se3 import apply_transform
 
@@ -207,7 +208,7 @@ def local_to_global_registration(
     # (approx selection — the tail of the capped set has near-zero scores) ----
     flat_scores = score_mat.reshape(-1)
     c = min(correspondence_limit, flat_scores.shape[0])
-    corr_scores, flat_idx = jax.lax.approx_max_k(flat_scores, c)
+    corr_scores, flat_idx = selection.max_k(flat_scores, c)
     corr_masks = corr_scores > 0.0
     corr_scores = jnp.where(corr_masks, corr_scores, 0.0)
     b_idx = flat_idx // (kk * kk)

@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ref_geotransformer_tpu.ops import selection
 from ref_geotransformer_tpu.ops.pairwise import pairwise_distance
 
 _FILL = 1e12
@@ -56,7 +57,7 @@ def _chunked_topk_neighbors(
         sq = pairwise_distance(q, s_points)  # (chunk, N)
         sq = jnp.where(s_invalid[None, :], _FILL, sq)
         if approx:
-            d, idx = jax.lax.approx_min_k(sq, k, recall_target=0.95)
+            d, idx = selection.min_k(sq, k, recall_target=0.95)
         else:
             neg_top, idx = jax.lax.top_k(-sq, k)  # ascending distance
             d = -neg_top

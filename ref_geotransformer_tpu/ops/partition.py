@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ref_geotransformer_tpu.ops import selection
 from ref_geotransformer_tpu.ops.pairwise import masked_pairwise_distance
 
 _FILL = 1e12
@@ -78,7 +79,7 @@ def point_to_node_partition(
     # TPU PartialReduce selection (exact on CPU); at worst it swaps the
     # patch's farthest member — the reference truncates patches to the K
     # nearest owned points anyway (pointcloud_partition.py:95-99)
-    top_sq, node_knn_indices = jax.lax.approx_min_k(owned_sq, point_limit)
+    top_sq, node_knn_indices = selection.min_k(owned_sq, point_limit)
     node_knn_masks = top_sq < _FILL
     node_knn_indices = jnp.where(node_knn_masks, node_knn_indices.astype(jnp.int32), jnp.int32(n))
 
