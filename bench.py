@@ -103,22 +103,25 @@ def main():
         args = (variables, jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m))
         run = full_pipeline
 
-    # warmup / compile (device_get forces a real round-trip; block_until_ready
-    # alone is unreliable over the axon tunnel)
-    jax.device_get(run(*args))
-
-    # analytic FLOPs from the compiled module (XLA cost analysis) -> MFU.
-    # Peak is the bf16 MXU rate of the bench chip (v5e: 197 TFLOP/s);
-    # override with BENCH_PEAK_TFLOPS for other hardware.
+    # AOT-compile ONCE: the compiled executable both provides XLA's cost
+    # analysis (analytic FLOPs -> MFU) and is what we time (jit would
+    # compile the same graph a second time). Peak is the bf16 MXU rate of
+    # the bench chip (v5e: 197 TFLOP/s); override with BENCH_PEAK_TFLOPS.
     flops_per_exec = None
     try:
-        ca = run.lower(*args).compile().cost_analysis()
+        compiled = run.lower(*args).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_exec = float(ca.get("flops", 0.0)) or None
+        run = compiled
     except Exception:
         pass
     peak_flops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+
+    # warmup (device_get forces a real round-trip; block_until_ready alone
+    # is unreliable over the axon tunnel)
+    jax.device_get(run(*args))
 
     iters = 20
     t0 = time.time()
