@@ -135,3 +135,101 @@ def load_torch_checkpoint(path: str) -> Dict:
     snapshot = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = snapshot.get("model", snapshot)
     return convert_state_dict(state_dict)
+
+
+_EXPERIMENTS = {
+    "3dmatch": "geotransformer_3dmatch_stage4",
+    "kitti": "geotransformer_kitti_stage5",
+    "modelnet": "geotransformer_modelnet_rpmnet_stage4",
+}
+
+
+def _flat(tree, prefix=()):
+    for key, value in tree.items():
+        path = prefix + (key,)
+        if isinstance(value, dict):
+            yield from _flat(value, path)
+        else:
+            yield path, value
+
+
+def _validate_against_experiment(converted: Dict, experiment: str) -> None:
+    """Structural check: converted paths+shapes == a fresh model init's.
+
+    Uses tiny init capacities (param shapes depend only on channel dims), so
+    this is seconds on CPU. Raises SystemExit with a readable diff on
+    mismatch rather than writing a snapshot the loaders would reject."""
+    import os.path as osp
+    import sys
+
+    import jax
+    import numpy as np
+
+    repo = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    sys.path.insert(0, osp.join(repo, "experiments", _EXPERIMENTS[experiment]))
+    from config import make_cfg  # noqa: E402
+
+    from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
+
+    cfg = make_cfg()
+    model = GeoTransformer(cfg)
+    init_vars = init_model_variables(model, cfg, jax.random.key(0))
+
+    problems = []
+    for collection in ("params", "buffers"):
+        conv = dict(_flat(converted[collection]))
+        exp = dict(_flat(init_vars.get(collection, {})))
+        for path in sorted(set(exp) - set(conv)):
+            problems.append(f"missing from checkpoint: {collection}/" + "/".join(path))
+        for path in sorted(set(conv) - set(exp)):
+            problems.append(f"not in this model: {collection}/" + "/".join(path))
+        for path in sorted(set(conv) & set(exp)):
+            if tuple(conv[path].shape) != tuple(np.shape(exp[path])):
+                problems.append(
+                    f"shape mismatch at {collection}/" + "/".join(path)
+                    + f": checkpoint {tuple(conv[path].shape)} vs model {tuple(np.shape(exp[path]))}"
+                )
+    if problems:
+        raise SystemExit(
+            f"checkpoint does not match the '{experiment}' experiment model:\n  "
+            + "\n  ".join(problems)
+        )
+
+
+def main() -> None:
+    """CLI: reference .pth.tar -> orbax epoch snapshot loadable by this
+    framework's test.py/demo.py --snapshot (engine/checkpoint.py layout).
+
+        python -m ref_geotransformer_tpu.utils.convert_checkpoint \
+            geotransformer-3dmatch.pth.tar output/snapshots --name epoch-40 \
+            --experiment 3dmatch
+    """
+    import argparse
+    import os.path as osp
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("checkpoint", help="reference PyTorch .pth.tar")
+    parser.add_argument("snapshot_dir", help="output snapshot directory")
+    parser.add_argument("--name", default=None,
+                        help="snapshot name (default: checkpoint basename, e.g. epoch-40)")
+    parser.add_argument("--experiment", choices=sorted(_EXPERIMENTS), default=None,
+                        help="validate structure against this experiment's model before saving")
+    args = parser.parse_args()
+
+    converted = load_torch_checkpoint(args.checkpoint)
+    n_params = sum(int(np.prod(leaf.shape)) for _, leaf in _flat(converted["params"]))
+    print(f"converted {n_params:,} params; skipped (recomputed) keys: {converted['skipped']}")
+
+    if args.experiment:
+        _validate_against_experiment(converted, args.experiment)
+        print(f"structure matches the '{args.experiment}' model")
+
+    from ref_geotransformer_tpu.engine.checkpoint import CheckpointManager
+
+    name = args.name or osp.basename(args.checkpoint).split(".")[0]
+    CheckpointManager(args.snapshot_dir).save_epoch(name, converted["params"], converted["buffers"])
+    print(f"saved {osp.join(osp.abspath(args.snapshot_dir), name)}")
+
+
+if __name__ == "__main__":
+    main()

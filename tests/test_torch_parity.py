@@ -606,3 +606,70 @@ def test_point_to_node_partition_parity():
     assert np.array_equal(
         np.sort(np.where(valid, o_idx, -1), axis=1), np.sort(np.where(valid, t_idx, -1), axis=1)
     )
+
+
+@pytest.mark.slow
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """End-to-end pretrained-weight import path: a full-scale reference
+    .pth.tar (random init, the published checkpoints' exact tree) ->
+    `python -m ref_geotransformer_tpu.utils.convert_checkpoint` with
+    structural validation -> orbax snapshot -> CheckpointManager.load_model
+    round-trips bit-exactly."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    model_mod = torch_ref.ref_experiment()
+
+    # full 3DMatch stage4 dims (experiments/geotransformer.3dmatch.../
+    # config.py:63-121) so validation against our experiment config passes
+    pcfg = torch_ref.make_parity_cfg()
+    pcfg.backbone.init_dim = 64
+    pcfg.backbone.output_dim = 256
+    pcfg.backbone.group_norm = 32
+    pcfg.model.num_points_in_patch = 64
+    pcfg.geotransformer.input_dim = 1024
+    pcfg.geotransformer.hidden_dim = 256
+    pcfg.geotransformer.output_dim = 256
+    pcfg.coarse_matching.num_targets = 128
+    pcfg.coarse_matching.num_correspondences = 256
+
+    torch.manual_seed(3)
+    ref_model = model_mod.GeoTransformer(pcfg)
+    ckpt_path = tmp_path / "epoch-40.pth.tar"
+    torch.save({"model": ref_model.state_dict()}, ckpt_path)
+
+    snap_dir = tmp_path / "snapshots"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [_sys.executable, "-m", "ref_geotransformer_tpu.utils.convert_checkpoint",
+         str(ckpt_path), str(snap_dir), "--experiment", "3dmatch"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "structure matches the '3dmatch' model" in out.stdout
+
+    # reload through the trainer/tester path and compare against a direct
+    # in-process conversion
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments", "geotransformer_3dmatch_stage4"))
+    from config import make_cfg
+
+    from ref_geotransformer_tpu.engine.checkpoint import CheckpointManager
+    from ref_geotransformer_tpu.models import GeoTransformer as OursGT, init_model_variables
+
+    cfg = make_cfg()
+    init_vars = init_model_variables(OursGT(cfg), cfg, jax.random.key(0))
+    restored = CheckpointManager(str(snap_dir)).load_model(
+        "epoch-40", init_vars["params"], init_vars["buffers"])
+
+    expected = torch_ref.torch_state_to_variables(ref_model)
+    for path, leaf in torch_ref.flat_paths(expected["params"]):
+        got = restored["params"]
+        for k in path:
+            got = got[k]
+        np.testing.assert_array_equal(np.asarray(got), leaf, err_msg="/".join(path))
