@@ -13,8 +13,6 @@ import sys
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
 
-import numpy as np
-
 
 def parse_args():
     parser = argparse.ArgumentParser()
@@ -47,43 +45,10 @@ def main():
     pair0, _ = next(iter(loader.iter_single()))
     state, _ = create_train_state(model, ensure_pyramids(cfg, pair0), cfg.optim, steps_per_epoch=1)
 
+    from ref_geotransformer_tpu.utils.feature_dump import dump_registration_npz
+
     def after_test_step(i, data, meta, output):
-        scene_name = meta["scene_name"]
-        ref_frame, src_frame = meta["ref_frame"], meta["src_frame"]
-        ref_mask_c = np.asarray(output["ref_node_masks"])
-        src_mask_c = np.asarray(output["src_node_masks"])
-        ref_mask_f = np.asarray(output["ref_masks_f"])
-        src_mask_f = np.asarray(output["src_masks_f"])
-        corr_masks = np.asarray(output["corr_masks"])
-        # everything coarse is dumped in COMPACTED (valid-nodes-only) space so
-        # the offline eval sees self-consistent shapes: compact the GT map and
-        # remap the proposal indices from padded to compact positions
-        ref_remap = np.cumsum(ref_mask_c) - 1
-        src_remap = np.cumsum(src_mask_c) - 1
-        ref_node_corr = ref_remap[np.asarray(output["ref_node_corr_indices"])]
-        src_node_corr = src_remap[np.asarray(output["src_node_corr_indices"])]
-        gt_map = np.asarray(output["gt_node_overlap_map"])[np.ix_(ref_mask_c, src_mask_c)]
-        file_name = osp.join(feature_dir, f"{scene_name}_{ref_frame}_{src_frame}.npz")
-        np.savez_compressed(
-            file_name,
-            ref_points=np.asarray(data["ref_points"])[np.asarray(data["ref_masks"])],
-            src_points=np.asarray(data["src_points"])[np.asarray(data["src_masks"])],
-            ref_points_f=np.asarray(output["ref_points_f"])[ref_mask_f],
-            src_points_f=np.asarray(output["src_points_f"])[src_mask_f],
-            ref_points_c=np.asarray(output["ref_points_c"])[ref_mask_c],
-            src_points_c=np.asarray(output["src_points_c"])[src_mask_c],
-            ref_feats_c=np.asarray(output["ref_feats_c"])[ref_mask_c],
-            src_feats_c=np.asarray(output["src_feats_c"])[src_mask_c],
-            ref_node_corr_indices=ref_node_corr,
-            src_node_corr_indices=src_node_corr,
-            ref_corr_points=np.asarray(output["ref_corr_points"])[corr_masks],
-            src_corr_points=np.asarray(output["src_corr_points"])[corr_masks],
-            corr_scores=np.asarray(output["corr_scores"])[corr_masks],
-            gt_node_corr_overlaps=gt_map,
-            estimated_transform=np.asarray(output["estimated_transform"]),
-            transform=np.asarray(data["transform"]),
-            overlap=meta.get("overlap", 1.0),
-        )
+        dump_registration_npz(feature_dir, data, meta, output)
 
     tester = SingleTester.from_snapshot(
         cfg,

@@ -1,7 +1,9 @@
 """KITTI test: dump per-pair .npz + online metrics.
 
 Ref parity: kitti experiment test.py (RR criterion RRE < 5 deg, RTE < 2 m is
-applied by the online evaluator via cfg.eval.recall_criterion='rre_rte').
+applied by the online evaluator via cfg.eval.recall_criterion='rre_rte';
+the dump carries the full key set of the reference's test.py:65-80 so
+eval.py can score coarse matching too).
 """
 
 import argparse
@@ -10,8 +12,6 @@ import sys
 
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
-
-import numpy as np
 
 
 def main():
@@ -23,22 +23,14 @@ def main():
     from dataset import test_data_loader
     from ref_geotransformer_tpu.engine.cli import run_test
     from ref_geotransformer_tpu.utils.common import ensure_dir
+    from ref_geotransformer_tpu.utils.feature_dump import dump_registration_npz
 
     cfg = make_cfg()
     ensure_dir(FEATURE_DIR)
     loader = test_data_loader(cfg)
 
     def after_test_step(i, data, meta, output):
-        corr_masks = np.asarray(output["corr_masks"])
-        file_name = osp.join(FEATURE_DIR, f"{meta['scene_name']}_{meta['ref_frame']}_{meta['src_frame']}.npz")
-        np.savez_compressed(
-            file_name,
-            ref_corr_points=np.asarray(output["ref_corr_points"])[corr_masks],
-            src_corr_points=np.asarray(output["src_corr_points"])[corr_masks],
-            corr_scores=np.asarray(output["corr_scores"])[corr_masks],
-            estimated_transform=np.asarray(output["estimated_transform"]),
-            transform=np.asarray(data["transform"]),
-        )
+        dump_registration_npz(FEATURE_DIR, data, meta, output)
 
     summary = run_test(
         cfg, loader, SNAPSHOT_DIR, args.snapshot, LOG_DIR, after_test_step=after_test_step, log_name="test"

@@ -143,3 +143,60 @@ def test_save_corr_pcd(tmp_path):
         path = tmp_path / f"{name}.ply"
         assert path.exists()
         assert path.read_text().startswith("ply")
+
+
+def test_dump_registration_npz_compaction(tmp_path):
+    """The shared dump helper (utils/feature_dump.py) strips padded slots and
+    remaps coarse proposal indices from padded to compact space."""
+    from ref_geotransformer_tpu.utils.feature_dump import dump_registration_npz
+
+    n0, nf, nc, ncorr = 8, 6, 5, 4
+    ref_mask_c = np.array([True, False, True, True, False])
+    src_mask_c = np.array([True, True, False, True, True])
+    data = {
+        "ref_points": rng.normal(size=(n0, 3)).astype(np.float32),
+        "ref_masks": np.array([True] * 7 + [False]),
+        "src_points": rng.normal(size=(n0, 3)).astype(np.float32),
+        "src_masks": np.ones(n0, bool),
+        "transform": np.eye(4, dtype=np.float32),
+    }
+    output = {
+        "ref_points_f": rng.normal(size=(nf, 3)).astype(np.float32),
+        "src_points_f": rng.normal(size=(nf, 3)).astype(np.float32),
+        "ref_masks_f": np.array([True] * 5 + [False]),
+        "src_masks_f": np.ones(nf, bool),
+        "ref_points_c": rng.normal(size=(nc, 3)).astype(np.float32),
+        "src_points_c": rng.normal(size=(nc, 3)).astype(np.float32),
+        "ref_feats_c": rng.normal(size=(nc, 4)).astype(np.float32),
+        "src_feats_c": rng.normal(size=(nc, 4)).astype(np.float32),
+        "ref_node_masks": ref_mask_c,
+        "src_node_masks": src_mask_c,
+        # proposals reference PADDED positions of valid nodes
+        "ref_node_corr_indices": np.array([0, 2, 3]),
+        "src_node_corr_indices": np.array([1, 3, 4]),
+        "ref_corr_points": rng.normal(size=(ncorr, 3)).astype(np.float32),
+        "src_corr_points": rng.normal(size=(ncorr, 3)).astype(np.float32),
+        "corr_scores": np.arange(ncorr, dtype=np.float32),
+        "corr_masks": np.array([True, True, False, True]),
+        "gt_node_overlap_map": rng.uniform(size=(nc, nc)).astype(np.float32),
+        "estimated_transform": np.eye(4, dtype=np.float32),
+    }
+    meta = {"scene_name": "scene", "ref_frame": 1, "src_frame": 2, "overlap": 0.7}
+
+    path = dump_registration_npz(str(tmp_path), data, meta, output)
+    assert path.endswith("scene_1_2.npz")
+    dumped = np.load(path)
+    assert dumped["ref_points"].shape == (7, 3)
+    assert dumped["ref_points_f"].shape == (5, 3)
+    assert dumped["ref_points_c"].shape == (3, 3)  # 3 valid ref nodes
+    assert dumped["src_points_c"].shape == (4, 3)
+    # padded positions 0,2,3 of ref -> compact 0,1,2; src 1,3,4 -> 1,2,3
+    np.testing.assert_array_equal(dumped["ref_node_corr_indices"], [0, 1, 2])
+    np.testing.assert_array_equal(dumped["src_node_corr_indices"], [1, 2, 3])
+    assert dumped["gt_node_corr_overlaps"].shape == (3, 4)
+    np.testing.assert_array_equal(
+        dumped["gt_node_corr_overlaps"],
+        output["gt_node_overlap_map"][np.ix_(ref_mask_c, src_mask_c)],
+    )
+    assert dumped["ref_corr_points"].shape == (3, 3)
+    assert float(dumped["overlap"]) == 0.7

@@ -114,3 +114,62 @@ def test_eval_one_epoch_on_synthetic_dumps(tmp_path, monkeypatch):
                                num_corr=None, verbose=False)
     summary_svd = eval_mod.eval_one_epoch(args_svd, cfg)
     assert summary_svd["RR"] == pytest.approx(1.0)
+
+
+def test_kitti_eval_on_synthetic_dumps(tmp_path):
+    """KITTI offline eval (reference kitti eval.py:35-180 parity): perfect
+    synthetic dumps -> PIR/PMR buckets/FMR/IR/OV/RR all 1.0, RRE/RTE ~0."""
+    import importlib
+    from types import SimpleNamespace
+
+    kitti_dir = osp.join(
+        osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments", "geotransformer_kitti_stage5"
+    )
+    sys.path.insert(0, kitti_dir)
+    for mod in ("config", "eval"):
+        sys.modules.pop(mod, None)
+    try:
+        kitti_eval = importlib.import_module("eval")
+        from config import make_cfg as kitti_make_cfg
+
+        cfg = kitti_make_cfg()
+        feature_dir = tmp_path / "features"
+        feature_dir.mkdir()
+        rng = np.random.default_rng(1)
+        for i, (a, b) in enumerate([(0, 5), (10, 16)]):
+            transform = _random_transform(10 + i)
+            n_c, n_corr = 30, 90
+            src_corr = rng.uniform(-20, 20, (n_corr, 3)).astype(np.float32)
+            ref_corr = src_corr @ transform[:3, :3].T + transform[:3, 3]
+            gt_map = np.zeros((n_c, n_c), np.float32)
+            idx = rng.integers(0, n_c, 20)
+            jdx = rng.integers(0, n_c, 20)
+            gt_map[idx, jdx] = rng.uniform(0.2, 0.9, 20)
+            sel = rng.integers(0, 20, 15)
+            np.savez_compressed(
+                feature_dir / f"seq08_{a}_{b}.npz",
+                ref_points_c=rng.normal(size=(n_c, 3)).astype(np.float32),
+                src_points_c=rng.normal(size=(n_c, 3)).astype(np.float32),
+                ref_node_corr_indices=idx[sel],
+                src_node_corr_indices=jdx[sel],
+                ref_corr_points=ref_corr,
+                src_corr_points=src_corr,
+                corr_scores=np.ones(n_corr, np.float32),
+                gt_node_corr_overlaps=gt_map,
+                estimated_transform=transform,
+                transform=transform,
+            )
+
+        args = SimpleNamespace(method="lgr", num_corr=None, feature_dir=str(feature_dir), verbose=False)
+        summary = kitti_eval.eval_one_epoch(args, cfg)
+        for key in ("PIR", "PMR>0", "PMR>=0.5", "FMR", "IR", "OV", "RR"):
+            assert summary[key] == pytest.approx(1.0), key
+        assert summary["RRE"] == pytest.approx(0.0, abs=1e-3)
+        assert summary["RTE"] == pytest.approx(0.0, abs=1e-3)
+
+        args_svd = SimpleNamespace(method="svd", num_corr=None, feature_dir=str(feature_dir), verbose=False)
+        assert kitti_eval.eval_one_epoch(args_svd, cfg)["RR"] == pytest.approx(1.0)
+    finally:
+        sys.path.remove(kitti_dir)
+        for mod in ("config", "eval"):
+            sys.modules.pop(mod, None)

@@ -36,12 +36,35 @@ sys.path.insert(0, ROOT)
 CKPT = "/tmp/ab_quality_ckpt.pkl"
 
 
+_BUILDER_CACHE = {}
+
+
+def _pair_builder(cfg):
+    """One jitted pyramid builder per capacity tuple — eager op-by-op
+    dispatch over the device tunnel costs minutes per pair otherwise."""
+    import jax
+
+    from ref_geotransformer_tpu.data import build_registration_inputs
+
+    key = (cfg.capacities.points, cfg.capacities.neighbor_limits, cfg.capacities.search_chunk)
+    if key not in _BUILDER_CACHE:
+        _BUILDER_CACHE[key] = jax.jit(
+            lambda rp, rm, sp, sm, gt: build_registration_inputs(
+                rp, rm, sp, sm,
+                cfg.backbone.num_stages, cfg.backbone.init_voxel_size, cfg.backbone.init_radius,
+                cfg.capacities.neighbor_limits, cfg.capacities.points,
+                transform=gt, search_chunk=cfg.capacities.search_chunk,
+            )
+        )
+    return _BUILDER_CACHE[key]
+
+
 def make_pair(cfg, seed):
     """Synthetic partially-overlapping surface pair at full capacities."""
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
 
-    from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
+    from ref_geotransformer_tpu.data import pad_points
 
     rng = np.random.default_rng(seed)
     cap0 = cfg.capacities.points[0]
@@ -63,11 +86,8 @@ def make_pair(cfg, seed):
 
     ref_p, ref_m = pad_points(ref_raw, cap0)
     src_p, src_m = pad_points(src_raw, cap0)
-    return build_registration_inputs(
-        jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m),
-        cfg.backbone.num_stages, cfg.backbone.init_voxel_size, cfg.backbone.init_radius,
-        cfg.capacities.neighbor_limits, cfg.capacities.points,
-        transform=jnp.array(gt), search_chunk=cfg.capacities.search_chunk,
+    return _pair_builder(cfg)(
+        jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m), jnp.array(gt)
     )
 
 
