@@ -46,8 +46,10 @@ def main():
     from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
     from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
 
-    cfg = make_cfg(demo=True)
     # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4 BENCH_SMOKE=1
+    # BENCH_FULL=1 (full 3DMatch training capacities instead of demo caps)
+    full = os.environ.get("BENCH_FULL") == "1"
+    cfg = make_cfg(demo=not full)
     bench_dtype = os.environ.get("BENCH_DTYPE", cfg.backbone.dtype)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     smoke = os.environ.get("BENCH_SMOKE") == "1"  # tiny caps: contract test on CPU
@@ -132,7 +134,7 @@ def main():
     pairs_per_sec = batch / dt
 
     payload = {
-        "metric": "3dmatch_demo_pairs_per_sec",
+        "metric": "3dmatch_full_pairs_per_sec" if full else "3dmatch_demo_pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),

@@ -184,6 +184,50 @@ def phase_measure(args):
     }), flush=True)
 
 
+def phase_forward(args):
+    """Single forward with the trained weights under the CURRENT selection
+    mode/dtype; dump intermediates for cross-setting drift comparison (a
+    noise-free view of what approx selection / bf16 actually perturb)."""
+    import jax
+
+    cfg, model, _ = setup(args.scale, args.dtype)
+    trees = load_tree(CKPT)
+    variables = {"params": jax.tree_util.tree_map(jnp_array, trees["trained"]),
+                 "buffers": jax.tree_util.tree_map(jnp_array, trees["buffers"])}
+
+    fwd = jax.jit(lambda v, d: model.apply(v, d))
+    dumps = {}
+    for s in (100, 101, 102, 103):
+        out = fwd(variables, make_pair(cfg, s))
+        dumps[s] = {k: np.asarray(jax.device_get(out[k]), np.float32) for k in
+                    ("ref_feats_c", "src_feats_c", "matching_scores", "estimated_transform",
+                     "ref_corr_points", "src_corr_points", "corr_scores")}
+    with open(args.out, "wb") as f:
+        pickle.dump(dumps, f)
+    print(f"[forward] dumped {args.out}", flush=True)
+
+
+def compare_forward_dumps(path_a, path_b, name_a, name_b):
+    """Drift metrics between two phase_forward dumps."""
+    from ref_geotransformer_tpu.utils.registration import compute_registration_error
+
+    with open(path_a, "rb") as f:
+        da = pickle.load(f)
+    with open(path_b, "rb") as f:
+        db = pickle.load(f)
+    rows = []
+    for s in sorted(da):
+        a, b = da[s], db[s]
+        cos = float(np.mean(np.sum(a["ref_feats_c"] * b["ref_feats_c"], -1) / (
+            np.linalg.norm(a["ref_feats_c"], axis=-1) * np.linalg.norm(b["ref_feats_c"], axis=-1) + 1e-12)))
+        score_mad = float(np.mean(np.abs(a["matching_scores"] - b["matching_scores"])))
+        rre, rte = compute_registration_error(a["estimated_transform"], b["estimated_transform"])
+        rows.append({"pair": s, "feat_cos": round(cos, 6), "score_mad": round(score_mad, 6),
+                     "d_rre_deg": round(float(rre), 4), "d_rte_m": round(float(rte), 5)})
+    print(f"DRIFT {name_a} vs {name_b}: " + json.dumps(rows), flush=True)
+    return rows
+
+
 def jnp_array(x):
     import jax.numpy as jnp
 
@@ -192,18 +236,39 @@ def jnp_array(x):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--phase", default="all", choices=["all", "train", "measure"])
+    parser.add_argument("--phase", default="all", choices=["all", "train", "measure", "forward", "drift"])
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--scale", type=float, default=1.0)
     parser.add_argument("--train_steps", type=int, default=60)
     parser.add_argument("--n_train_pairs", type=int, default=8)
     parser.add_argument("--n_eval_pairs", type=int, default=8)
+    parser.add_argument("--out", default="/tmp/ab_forward.pkl", help="forward-dump path (--phase forward)")
     args = parser.parse_args()
 
     if args.phase == "train":
         return phase_train(args)
     if args.phase == "measure":
         return phase_measure(args)
+    if args.phase == "forward":
+        return phase_forward(args)
+    if args.phase == "drift":
+        # orchestrate forward dumps across settings, then compare
+        base_cmd = [sys.executable, osp.abspath(__file__), "--scale", str(args.scale),
+                    "--phase", "forward"]
+        settings = [("0", "float32"), ("1", "float32"), ("0", "bfloat16"), ("1", "bfloat16")]
+        paths = {}
+        for exact, dtype in settings:
+            name = f"{'exact' if exact == '1' else 'approx'}-{dtype}"
+            paths[name] = f"/tmp/ab_forward_{name}.pkl"
+            env = dict(os.environ, REF_GT_EXACT_SELECT=exact)
+            subprocess.run(base_cmd + ["--dtype", dtype, "--out", paths[name]], env=env, check=True)
+        compare_forward_dumps(paths["approx-float32"], paths["exact-float32"],
+                              "approx-f32", "exact-f32")
+        compare_forward_dumps(paths["approx-bfloat16"], paths["exact-bfloat16"],
+                              "approx-bf16", "exact-bf16")
+        compare_forward_dumps(paths["exact-bfloat16"], paths["exact-float32"],
+                              "exact-bf16", "exact-f32")
+        return None
 
     # orchestrate
     base_cmd = [sys.executable, osp.abspath(__file__), "--scale", str(args.scale),

@@ -61,6 +61,37 @@ def main():
         print(f"{name:34s} {(time.time() - t0) / args.iters * 1e3:8.1f} ms", flush=True)
         return out
 
+    def timed_scan(name, fn, perturb_arg, *fn_args, inner=20):
+        """Scan-amortized per-call cost: run `fn` `inner` times inside ONE jit,
+        perturbing argument `perturb_arg` per iteration (so XLA cannot CSE),
+        and reduce outputs on device. Removes the tunnel's per-CALL overhead
+        that inflates the naive `timed` rows."""
+        def consume(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf.astype(jnp.float32))
+
+        @jax.jit
+        def looped(*a):
+            def body(acc, i):
+                scaled = list(a)
+                scaled[perturb_arg] = scaled[perturb_arg] * (1.0 + 1e-7 * i.astype(jnp.float32))
+                return acc + consume(fn(*scaled)), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(inner))
+            return acc
+
+        jax.device_get(looped(*fn_args))  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(looped(*fn_args))
+            best = min(best, time.time() - t0)
+        print(f"{name:34s} {best / inner * 1e3:8.1f} ms  (scan-amortized)", flush=True)
+
+    # tunnel/dispatch overhead per timed() call: a trivial op with the same
+    # fetch pattern — subtract this mentally from every naive row
+    timed("null op (per-call overhead)", jax.jit(lambda x: x * 2.0 + 1.0), jnp.ones((8,)))
+
     build = jax.jit(
         lambda a, b, c, d: build_registration_inputs(
             a, b, c, d,
@@ -76,6 +107,20 @@ def main():
 
     fwd = jax.jit(lambda v, d: model.apply(v, d)["estimated_transform"])
     timed("full model forward", fwd, variables, data)
+
+    # scan-amortized end-to-end (perturb raw ref points; pyramid + model)
+    def e2e(rp, rm, sp, sm, v):
+        d = build_registration_inputs(
+            rp, rm, sp, sm,
+            cfg.backbone.num_stages, cfg.backbone.init_voxel_size, cfg.backbone.init_radius,
+            cfg.capacities.neighbor_limits, cfg.capacities.points,
+            transform=jnp.eye(4), search_chunk=cfg.capacities.search_chunk,
+        )
+        return model.apply(v, d)["estimated_transform"]
+
+    timed_scan("pyramid + model (e2e)", e2e, 0,
+               jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m), variables,
+               inner=10)
 
     # --- stages ---
     k_patch = cfg.model.num_points_in_patch
@@ -132,6 +177,8 @@ def main():
     bb_vars = jax.jit(vbb.init)(jax.random.key(0), feats0, stacked)
     bb_fn = jax.jit(lambda v, f, d: vbb.apply(v, f, d)[-1])
     timed("KPConv-FPN backbone (pair)", bb_fn, bb_vars, feats0, stacked)
+    timed_scan("KPConv-FPN backbone (scan)", lambda f, v, d: vbb.apply(v, f, d)[-1], 0,
+               feats0, bb_vars, stacked, inner=10)
 
     n_c = cfg.capacities.points[-1]
     h = cfg.geotransformer.hidden_dim
