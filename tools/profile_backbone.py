@@ -14,12 +14,15 @@ import os.path as osp
 import sys
 import time
 
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 sys.path.insert(
     0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments", "geotransformer_3dmatch_stage4")
 )
 
 import numpy as np
+
+from _timing import scan_timeit
 
 
 def main():
@@ -83,27 +86,9 @@ def main():
         cls, kwargs, call_args = cls_kwargs_call
         mod = vmapped(cls, **kwargs)
         variables = mod.init(rng, *call_args)
-
-        @jax.jit
-        def looped(v, a0, rest):
-            def body(acc, i):
-                scaled = a0 * (1.0 + 1e-7 * i.astype(a0.dtype))
-                out = mod.apply(v, scaled, *rest)
-                return acc + jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(args.inner))
-            return acc
-
         a0, rest = call_args[0], call_args[1:]
-        jax.device_get(looped(variables, a0, rest))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            jax.device_get(looped(variables, a0, rest))
-            best = min(best, time.time() - t0)
-        ms = best / args.inner * 1e3
-        total += ms
-        print(f"{name:46s} {ms:7.2f} ms", flush=True)
+        total += scan_timeit(name, lambda x, *r: mod.apply(variables, x, *r), a0, *rest,
+                             inner=args.inner)
 
     kp = dict(kernel_size=ks, radius=r0, sigma=s0, group_norm=gn, compute_dtype=cdtype)
     f0 = jnp.ones((2, cap0, cfg.backbone.input_dim), jnp.float32)
