@@ -57,7 +57,7 @@ def _chunked_topk_neighbors(
         sq = pairwise_distance(q, s_points)  # (chunk, N)
         sq = jnp.where(s_invalid[None, :], _FILL, sq)
         if approx:
-            d, idx = selection.min_k(sq, k, recall_target=0.95)
+            d, idx = selection.min_k(sq, k)
         else:
             neg_top, idx = jax.lax.top_k(-sq, k)  # ascending distance
             d = -neg_top

@@ -22,7 +22,14 @@ import jax.numpy as jnp
 
 EXACT = os.environ.get("REF_GT_EXACT_SELECT", "0") == "1"
 
-_DEFAULT_RECALL = 0.95
+# PartialReduce cost is steep in recall_target (measured on the level-0
+# 20480^2 search, one v5e: 0.99 -> 67.6 ms, 0.95 -> 4.7, 0.90 -> 2.8,
+# 0.80 -> 1.9; true-neighbor overlap vs exact 98.5% / 97.3% / 95.1% for
+# 0.95/0.90/0.80). Default 0.90: its 30-step training trajectory matches
+# 0.95's to 0.1% (within step noise, tools/ab_quality.py; both rows in
+# DESIGN.md) and it saves ~40% of the selection time. REF_GT_RECALL
+# overrides (e.g. 0.95 for the round-1 behavior).
+_DEFAULT_RECALL = float(os.environ.get("REF_GT_RECALL", "0.90"))
 
 
 def min_k(x: jnp.ndarray, k: int, recall_target: float = _DEFAULT_RECALL) -> Tuple[jnp.ndarray, jnp.ndarray]:
