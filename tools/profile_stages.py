@@ -11,12 +11,15 @@ import os.path as osp
 import sys
 import time
 
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 sys.path.insert(
     0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments", "geotransformer_3dmatch_stage4")
 )
 
 import numpy as np
+
+from _timing import scan_timeit
 
 
 def main():
@@ -62,31 +65,10 @@ def main():
         return out
 
     def timed_scan(name, fn, perturb_arg, *fn_args, inner=20):
-        """Scan-amortized per-call cost: run `fn` `inner` times inside ONE jit,
-        perturbing argument `perturb_arg` per iteration (so XLA cannot CSE),
-        and reduce outputs on device. Removes the tunnel's per-CALL overhead
-        that inflates the naive `timed` rows."""
-        def consume(out):
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf.astype(jnp.float32))
-
-        @jax.jit
-        def looped(*a):
-            def body(acc, i):
-                scaled = list(a)
-                scaled[perturb_arg] = scaled[perturb_arg] * (1.0 + 1e-7 * i.astype(jnp.float32))
-                return acc + consume(fn(*scaled)), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(inner))
-            return acc
-
-        jax.device_get(looped(*fn_args))  # compile + sync
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            jax.device_get(looped(*fn_args))
-            best = min(best, time.time() - t0)
-        print(f"{name:34s} {best / inner * 1e3:8.1f} ms  (scan-amortized)", flush=True)
+        """Floor-corrected scan-amortized timing (tools/_timing.py); the
+        perturbed argument must be first."""
+        assert perturb_arg == 0
+        scan_timeit(name, fn, *fn_args, inner=inner)
 
     # tunnel/dispatch overhead per timed() call: a trivial op with the same
     # fetch pattern — subtract this mentally from every naive row
