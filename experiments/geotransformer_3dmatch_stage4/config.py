@@ -30,16 +30,20 @@ from ref_geotransformer_tpu.config import (
     TrainDataConfig,
 )
 
+import os
+
 _WORKING_DIR = osp.dirname(osp.realpath(__file__))
 _ROOT_DIR = osp.dirname(osp.dirname(_WORKING_DIR))
 EXP_NAME = osp.basename(_WORKING_DIR)
-OUTPUT_DIR = osp.join(_ROOT_DIR, "output", EXP_NAME)
+# REF_GT_OUTPUT_ROOT / REF_GT_3DMATCH_ROOT relocate outputs / the dataset
+# (datasets often live on other disks; fixture/e2e runs use temp trees)
+OUTPUT_DIR = osp.join(os.environ.get("REF_GT_OUTPUT_ROOT", osp.join(_ROOT_DIR, "output")), EXP_NAME)
 SNAPSHOT_DIR = osp.join(OUTPUT_DIR, "snapshots")
 LOG_DIR = osp.join(OUTPUT_DIR, "logs")
 EVENT_DIR = osp.join(OUTPUT_DIR, "events")
 FEATURE_DIR = osp.join(OUTPUT_DIR, "features")
 REGISTRATION_DIR = osp.join(OUTPUT_DIR, "registration")
-DATASET_ROOT = osp.join(_ROOT_DIR, "data", "3DMatch")
+DATASET_ROOT = os.environ.get("REF_GT_3DMATCH_ROOT", osp.join(_ROOT_DIR, "data", "3DMatch"))
 
 
 def make_cfg(demo: bool = False) -> GeoTransformerConfig:
@@ -55,6 +59,18 @@ def make_cfg(demo: bool = False) -> GeoTransformerConfig:
         correspondence_limit=8192,
         search_chunk=2048,
     )
+    # REF_GT_CAPS_SCALE shrinks the static point capacities (e.g. 0.1 for
+    # fixture-size fragments or fast CI runs); channel dims are untouched
+    scale = float(os.environ.get("REF_GT_CAPS_SCALE", "1.0"))
+    if scale != 1.0:
+        pts = tuple(max(128, int(p * scale)) for p in capacities.points)
+        capacities = CapacityConfig(
+            points=pts,
+            neighbor_limits=capacities.neighbor_limits,
+            gt_candidates=min(capacities.gt_candidates, pts[-1] * 4),
+            correspondence_limit=min(capacities.correspondence_limit, 2048),
+            search_chunk=min(capacities.search_chunk, 512),
+        )
     return GeoTransformerConfig(
         seed=7351,
         capacities=capacities,

@@ -19,6 +19,7 @@ def parse_args():
     parser.add_argument("--batch_size", type=int, default=None, help="global pairs per step")
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel devices")
     parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--max_epoch", type=int, default=None, help="override cfg.optim.max_epoch")
     return parser.parse_args()
 
 
@@ -39,6 +40,10 @@ def main():
     ensure_dir(LOG_DIR)
 
     cfg = make_cfg()
+    if args.max_epoch is not None:
+        import dataclasses
+
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
     num_devices = args.num_devices or jax.device_count()
     batch_size = args.batch_size or max(cfg.train.batch_size, num_devices)
     mesh = make_mesh(num_devices=num_devices) if num_devices > 1 else None

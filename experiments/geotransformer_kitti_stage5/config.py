@@ -9,6 +9,7 @@ limits default to generous values — recalibrate with
 ref_geotransformer_tpu.data.calibration against the real dataset.
 """
 
+import os
 import os.path as osp
 import sys
 
@@ -35,12 +36,12 @@ from ref_geotransformer_tpu.config import (
 _WORKING_DIR = osp.dirname(osp.realpath(__file__))
 _ROOT_DIR = osp.dirname(osp.dirname(_WORKING_DIR))
 EXP_NAME = osp.basename(_WORKING_DIR)
-OUTPUT_DIR = osp.join(_ROOT_DIR, "output", EXP_NAME)
+OUTPUT_DIR = osp.join(os.environ.get("REF_GT_OUTPUT_ROOT", osp.join(_ROOT_DIR, "output")), EXP_NAME)
 SNAPSHOT_DIR = osp.join(OUTPUT_DIR, "snapshots")
 LOG_DIR = osp.join(OUTPUT_DIR, "logs")
 FEATURE_DIR = osp.join(OUTPUT_DIR, "features")
 REGISTRATION_DIR = osp.join(OUTPUT_DIR, "registration")
-DATASET_ROOT = osp.join(_ROOT_DIR, "data", "Kitti")
+DATASET_ROOT = os.environ.get("REF_GT_KITTI_ROOT", osp.join(_ROOT_DIR, "data", "Kitti"))
 
 
 def make_cfg() -> GeoTransformerConfig:

@@ -9,6 +9,7 @@ patch K=128, iteration-based warmup-cosine training (100k iters), plus the
 Cordi DDPM block. ModelNet acceptance: RRE < 1 deg, RTE < 0.1.
 """
 
+import os
 import os.path as osp
 import sys
 
@@ -36,14 +37,14 @@ from ref_geotransformer_tpu.config import (
 _WORKING_DIR = osp.dirname(osp.realpath(__file__))
 _ROOT_DIR = osp.dirname(osp.dirname(_WORKING_DIR))
 EXP_NAME = osp.basename(_WORKING_DIR)
-OUTPUT_DIR = osp.join(_ROOT_DIR, "output", EXP_NAME)
+OUTPUT_DIR = osp.join(os.environ.get("REF_GT_OUTPUT_ROOT", osp.join(_ROOT_DIR, "output")), EXP_NAME)
 SNAPSHOT_DIR = osp.join(OUTPUT_DIR, "snapshots")
 SNAPSHOT_ENCODER_DIR = osp.join(SNAPSHOT_DIR, "encoder")
 SNAPSHOT_DDPM_DIR = osp.join(SNAPSHOT_DIR, "ddpm")
 LOG_DIR = osp.join(OUTPUT_DIR, "logs")
 FEATURE_DIR = osp.join(OUTPUT_DIR, "features")
-MODELNET_ROOT = osp.join(_ROOT_DIR, "data", "ModelNet")
-LINEMOD_ROOT = osp.join(_ROOT_DIR, "data")
+MODELNET_ROOT = os.environ.get("REF_GT_MODELNET_ROOT", osp.join(_ROOT_DIR, "data", "ModelNet"))
+LINEMOD_ROOT = os.environ.get("REF_GT_LINEMOD_ROOT", osp.join(_ROOT_DIR, "data"))
 
 DDPM = DDPMConfig()
 

@@ -1,0 +1,142 @@
+"""End-to-end 3DMatch experiment CLI exercise on a synthetic fixture tree:
+real `trainval.py` (epoch trainer + val + snapshots) -> `test.py` (feature
+dumps) -> `eval.py` (scene-wise benchmark protocol, lgr + svd), all as
+subprocesses of the ACTUAL experiment scripts — the same flow a user runs
+on the real dataset (reference README.md:168-204), sized down via
+REF_GT_CAPS_SCALE and pointed at the fixture via REF_GT_3DMATCH_ROOT.
+
+Usage: python tools/train_3dmatch_fixture.py [--epochs 2] [--scale 0.1]
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+EXP_DIR = osp.join(ROOT, "experiments", "geotransformer_3dmatch_stage4")
+
+
+def _surface(rng, n):
+    pts = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    pts[:, 2] = (0.3 * np.sin(2.2 * pts[:, 0]) + 0.25 * np.cos(1.7 * pts[:, 1])
+                 + 0.15 * pts[:, 0] * pts[:, 1])
+    return pts
+
+
+def _transform(rng):
+    from scipy.spatial.transform import Rotation
+
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = Rotation.from_euler("xyz", rng.uniform(-30, 30, 3), degrees=True).as_matrix()
+    t[:3, 3] = rng.uniform(-0.3, 0.3, 3)
+    return t
+
+
+def make_fixture_tree(root, n_train=4, n_val=2, points=2400):
+    """torch-saved .pth fragments + metadata pkls + val benchmark gt files
+    (the reference's on-disk layout, threedmatch/dataset.py:52-66)."""
+    import torch
+
+    from ref_geotransformer_tpu.data.benchmark_3dmatch import write_log_file
+
+    scene = "7-scenes-fixture"
+    rng = np.random.default_rng(5)
+    if osp.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(osp.join(root, "metadata"))
+
+    def build_split(split, pairs):
+        os.makedirs(osp.join(root, "data", split, scene), exist_ok=True)
+        metadata = []
+        for frag0, frag1 in pairs:
+            gt = _transform(rng)
+            base = _surface(rng, int(points * 1.3))
+            ref = base[rng.permutation(len(base))[:points]]
+            src_sel = base[rng.permutation(len(base))[:points]]
+            src = (src_sel - gt[:3, 3]) @ gt[:3, :3]
+            ref = ref + rng.normal(0, 0.004, ref.shape).astype(np.float32)
+            src = (src + rng.normal(0, 0.004, src.shape)).astype(np.float32)
+            pcd0 = f"{split}/{scene}/cloud_bin_{frag0}.pth"
+            pcd1 = f"{split}/{scene}/cloud_bin_{frag1}.pth"
+            torch.save(torch.from_numpy(ref.astype(np.float32)), osp.join(root, "data", pcd0))
+            torch.save(torch.from_numpy(src), osp.join(root, "data", pcd1))
+            metadata.append({
+                "scene_name": scene, "frag_id0": frag0, "frag_id1": frag1,
+                "overlap": 0.75, "rotation": gt[:3, :3], "translation": gt[:3, 3],
+                "pcd0": pcd0, "pcd1": pcd1,
+            })
+        with open(osp.join(root, "metadata", f"{split}.pkl"), "wb") as f:
+            pickle.dump(metadata, f)
+        return metadata
+
+    build_split("train", [(0, 2), (1, 4), (3, 6), (5, 8)][:n_train])
+    val_meta = build_split("val", [(0, 3), (1, 5)][:n_val])
+
+    # "val" doubles as a benchmark: gt.log + covariance gt.info
+    bench_dir = osp.join(root, "metadata", "benchmarks", "val", scene)
+    os.makedirs(bench_dir)
+    gt_pairs = []
+    info_lines = []
+    num_fragments = 10
+    for m in val_meta:
+        t = np.eye(4, dtype=np.float32)
+        t[:3, :3] = m["rotation"]
+        t[:3, 3] = m["translation"]
+        gt_pairs.append({"test_pair": [m["frag_id0"], m["frag_id1"]],
+                         "num_fragments": num_fragments, "transform": t})
+        info_lines.append((m["frag_id0"], m["frag_id1"]))
+    write_log_file(osp.join(bench_dir, "gt.log"), gt_pairs)
+    cov = np.eye(6, dtype=np.float32)
+    with open(osp.join(bench_dir, "gt.info"), "w") as f:
+        for a, b in info_lines:
+            f.write(f"{a}\t{b}\t{num_fragments}\n")
+            for row in cov:
+                f.write("\t".join(str(x) for x in row) + "\n")
+
+
+def run(cmd, env):
+    print("$ " + " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
+    sys.stdout.write(proc.stdout[-4000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-6000:])
+        raise SystemExit(f"step failed: {' '.join(cmd)}")
+    return proc.stdout
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--scale", type=float, default=0.1)
+    parser.add_argument("--root", default="/tmp/threedmatch_fixture")
+    args = parser.parse_args()
+
+    make_fixture_tree(args.root)
+    out_root = osp.join(args.root, "output")
+    env = dict(os.environ,
+               REF_GT_3DMATCH_ROOT=args.root,
+               REF_GT_OUTPUT_ROOT=out_root,
+               REF_GT_CAPS_SCALE=str(args.scale))
+
+    py = sys.executable
+    run([py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(args.epochs),
+         "--log_steps", "1"], env)
+    run([py, osp.join(EXP_DIR, "test.py"), "--snapshot", f"epoch-{args.epochs}",
+         "--benchmark", "val"], env)
+    out_lgr = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "lgr"], env)
+    out_svd = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "svd"], env)
+    print(json.dumps({"ok": True, "epochs": args.epochs, "scale": args.scale,
+                      "eval_lgr_tail": out_lgr.strip().splitlines()[-1],
+                      "eval_svd_tail": out_svd.strip().splitlines()[-1]}))
+
+
+if __name__ == "__main__":
+    main()
