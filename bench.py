@@ -5,29 +5,35 @@ radius searches) + KPConv-FPN + geometric transformer + Sinkhorn + LGR — on
 the real 3DMatch demo pair (data/demo), steady-state, and prints ONE JSON
 line.
 
-Baseline: the reference publishes no pairs/sec. Estimate for the full
-single-GPU PyTorch pipeline (CPU collate with C++ voxel grid + KD-tree per
-pair, then GPU forward at batch 1): ~5 pairs/sec on the reference's
-environment (model forward ~100ms plus per-pair CPU precompute; GeoTransformer
-paper reports 0.296s/pair total pose time on 3DMatch with RANSAC-free LGR).
-We use BASELINE_PAIRS_PER_SEC = 5.0; vs_baseline = ours / baseline.
+Headline metric: pairs/sec at the FULL 3DMatch training capacities
+(30720 points — the workload behind BASELINE.md's rows); the demo-capacity
+number is reported alongside in the `demo` field.
+
+Baseline bracket: the reference publishes no pairs/sec. Anchors:
+ - paper: GeoTransformer reports 0.296 s/pair total pose time on 3DMatch
+   with RANSAC-free LGR => 3.38 pairs/s (model forward only; excludes the
+   reference's per-pair CPU collate: C++ voxel grid + KD-tree searches).
+ - estimate: ~5 pairs/s for the full single-GPU PyTorch pipeline including
+   that CPU precompute, on the reference's environment.
+vs_baseline divides by the HIGH anchor (5.0) — the conservative comparison.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# high anchor (estimated full torch pipeline); paper anchor 1/0.296 s/pair
 BASELINE_PAIRS_PER_SEC = 5.0
+PAPER_PAIRS_PER_SEC = round(1.0 / 0.296, 2)  # 3.38
 
 
-def main():
+def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
+    """Compile + steady-state-time the full pipeline; returns payload dict."""
     import os.path as osp
-
-    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
-    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "experiments", "geotransformer_3dmatch_stage4"))
 
     import dataclasses
 
@@ -46,13 +52,8 @@ def main():
     from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
     from ref_geotransformer_tpu.models import GeoTransformer, init_model_variables
 
-    # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4 BENCH_SMOKE=1
-    # BENCH_FULL=1 (full 3DMatch training capacities instead of demo caps)
-    full = os.environ.get("BENCH_FULL") == "1"
     cfg = make_cfg(demo=not full)
-    bench_dtype = os.environ.get("BENCH_DTYPE", cfg.backbone.dtype)
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    smoke = os.environ.get("BENCH_SMOKE") == "1"  # tiny caps: contract test on CPU
+    bench_dtype = dtype_override or cfg.backbone.dtype
     if bench_dtype != cfg.backbone.dtype:
         cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, dtype=bench_dtype))
     if smoke:
@@ -70,7 +71,6 @@ def main():
     root = osp.dirname(osp.abspath(__file__))
     ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
     src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
-    gt = np.load(osp.join(root, "data", "demo", "gt.npy")).astype(np.float32)
 
     cap0 = cfg.capacities.points[0]
     if smoke:
@@ -144,7 +144,59 @@ def main():
     if flops_per_exec:
         payload["gflops_per_pair"] = round(flops_per_exec / batch / 1e9, 2)
         payload["mfu_pct"] = round(100.0 * flops_per_exec / dt / peak_flops, 3)
-    print(json.dumps(payload))
+    return payload
+
+
+def main():
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "experiments", "geotransformer_3dmatch_stage4"))
+
+    # experiment knobs: BENCH_DTYPE=bfloat16 BENCH_BATCH=4 BENCH_SMOKE=1
+    # BENCH_FULL=1 (full-caps-only line) BENCH_DEMO=1 (demo-caps-only line)
+    # BENCH_FULL_TIMEOUT=secs (budget for the full-caps subprocess)
+    full = os.environ.get("BENCH_FULL") == "1"
+    demo_only = os.environ.get("BENCH_DEMO") == "1"
+    smoke = os.environ.get("BENCH_SMOKE") == "1"  # tiny caps: contract test on CPU
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    dtype_override = os.environ.get("BENCH_DTYPE")
+
+    if full or demo_only or smoke:
+        print(json.dumps(measure(full, smoke, batch, dtype_override)))
+        return
+
+    # Default: demo caps inline, then full caps in a time-bounded subprocess
+    # (full-caps cold compile can exceed 20 min without a warm XLA disk
+    # cache; on timeout/failure the demo line still ships, full: null).
+    demo_payload = measure(False, False, batch, dtype_override)
+    budget = int(os.environ.get("BENCH_FULL_TIMEOUT", "2700"))
+    full_payload = None
+    try:
+        env = dict(os.environ, BENCH_FULL="1")
+        proc = subprocess.run(
+            [sys.executable, osp.abspath(__file__)], env=env, timeout=budget,
+            capture_output=True, text=True, cwd=osp.dirname(osp.abspath(__file__)),
+        )
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    full_payload = json.loads(line)
+                    break
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+
+    if full_payload is not None:
+        headline = dict(full_payload)
+    else:
+        headline = dict(demo_payload)
+    headline["baseline_pairs_per_sec"] = BASELINE_PAIRS_PER_SEC
+    headline["baseline_bracket"] = [PAPER_PAIRS_PER_SEC, BASELINE_PAIRS_PER_SEC]
+    headline["demo"] = {k: demo_payload[k] for k in ("value", "vs_baseline", "gflops_per_pair", "mfu_pct") if k in demo_payload}
+    if full_payload is None:
+        headline["full"] = None  # full-caps run failed/timed out this round
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

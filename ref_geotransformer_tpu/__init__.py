@@ -11,3 +11,18 @@ which the reference implements as CPU C++ extensions) runs jitted on TPU.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache for every entry point (full-caps 3DMatch
+# train-step compiles take >20 min cold; a disk cache makes warm starts
+# survive fresh processes). Opt out with REF_GT_NO_COMPILE_CACHE=1; location
+# knobs documented in utils/jax_utils.setup_compilation_cache.
+import os as _os
+
+if _os.environ.get("REF_GT_NO_COMPILE_CACHE") != "1":
+    try:
+        from ref_geotransformer_tpu.utils.jax_utils import setup_compilation_cache as _scc
+
+        _scc()
+    except Exception:  # never let a cache-dir problem break imports
+        pass
+del _os

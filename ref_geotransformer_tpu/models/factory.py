@@ -14,7 +14,9 @@ from ref_geotransformer_tpu.models.norms import MaskedGroupNorm
 
 _ACT_REGISTRY = {
     "ReLU": nn.relu,
-    "LeakyReLU": lambda x: nn.leaky_relu(x, 0.01),
+    # ref factory defaults negative_slope=0.2 (factory.py:77-79); the KPConv
+    # blocks do NOT use this registry — they hardcode 0.1 (modules.py:115).
+    "LeakyReLU": lambda x: nn.leaky_relu(x, 0.2),
     "ELU": nn.elu,
     "GELU": nn.gelu,
     "Sigmoid": nn.sigmoid,
