@@ -55,6 +55,44 @@ class VarianceSchedule:
         return self.sigmas_flex[t] * flexibility + self.sigmas_inflex[t] * (1.0 - flexibility)
 
 
+def ddpm_loss(var_sched: VarianceSchedule, net_fn, x_0: jnp.ndarray,
+              t: jnp.ndarray, e_rand: jnp.ndarray) -> jnp.ndarray:
+    """Epsilon-prediction MSE at explicit (t, e_rand) (ddpm.py:80-110):
+    e_theta = net(sqrt(a_bar_t) x_0 + sqrt(1-a_bar_t) e, t), loss = mse(e_theta, e).
+
+    Pure in its noise arguments so cross-implementation parity can pin them
+    (tests/test_cordi_ddpm_parity.py); Cordi.get_loss draws them from a PRNG
+    key and delegates here."""
+    alpha_bar = var_sched.alpha_bars[t]
+    c0 = jnp.sqrt(alpha_bar)[:, None, None]
+    c1 = jnp.sqrt(1.0 - alpha_bar)[:, None, None]
+    e_theta = net_fn(c0 * x_0 + c1 * e_rand, t)
+    return jnp.mean((e_theta - e_rand) ** 2)
+
+
+def ddpm_sample(var_sched: VarianceSchedule, net_fn, x_T: jnp.ndarray,
+                zs: jnp.ndarray, flexibility: float = 0.0) -> jnp.ndarray:
+    """Reverse diffusion t = num_steps..1 (ddpm.py:127-154) as a lax.scan;
+    `zs` is the (num_steps, ...) noise sequence indexed zs[0] at t=num_steps
+    (the t=1 entry is overridden to zero, matching the reference)."""
+
+    def body(x_t, inp):
+        t, z = inp
+        z = jnp.where(t > 1, z, jnp.zeros_like(z))
+        alpha = var_sched.alphas[t]
+        alpha_bar = var_sched.alpha_bars[t]
+        sigma = var_sched.get_sigmas(t, flexibility)
+        c0 = 1.0 / jnp.sqrt(alpha)
+        c1 = (1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)
+        e_theta = net_fn(x_t, t)
+        x_next = c0 * (x_t - c1 * e_theta) + sigma * z
+        return x_next, None
+
+    ts = jnp.arange(var_sched.num_steps, 0, -1)
+    x_0, _ = jax.lax.scan(body, x_T, (ts, zs))
+    return x_0
+
+
 class SinusoidalTimeEmbedding(nn.Module):
     """Timestep embedding (ddpm.py:56-69)."""
 
@@ -158,37 +196,18 @@ class Cordi(nn.Module):
         b = x_0.shape[0]
         t_rng, e_rng = jax.random.split(rng)
         t = jax.random.randint(t_rng, (b,), 0, self.num_steps)
-        alpha_bar = self.var_sched.alpha_bars[t]
-        c0 = jnp.sqrt(alpha_bar)[:, None, None]
-        c1 = jnp.sqrt(1.0 - alpha_bar)[:, None, None]
         e_rand = jax.random.normal(e_rng, x_0.shape)
-        e_theta = self.net(c0 * x_0 + c1 * e_rand, self._time_token(t), ctx)
-        return jnp.mean((e_theta - e_rand) ** 2)
+        net_fn = lambda x, tt: self.net(x, self._time_token(tt), ctx)
+        return ddpm_loss(self.var_sched, net_fn, x_0, t, e_rand)
 
     def sample(self, x_T: jnp.ndarray, ctx: jnp.ndarray, rng: jax.Array,
                flexibility: float = 0.0) -> jnp.ndarray:
         """Reverse diffusion from the init corr matrix (ddpm.py:127-154) as a
         lax.scan from t = num_steps down to 1."""
         b = x_T.shape[0]
-
-        def body(x_t, inp):
-            t, step_rng = inp
-            z = jax.random.normal(step_rng, x_t.shape)
-            z = jnp.where(t > 1, z, jnp.zeros_like(z))
-            alpha = self.var_sched.alphas[t]
-            alpha_bar = self.var_sched.alpha_bars[t]
-            sigma = self.var_sched.get_sigmas(t, flexibility)
-            c0 = 1.0 / jnp.sqrt(alpha)
-            c1 = (1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)
-            t_b = jnp.full((b,), t, jnp.int32)
-            e_theta = self.net(x_t, self._time_token(t_b), ctx)
-            x_next = c0 * (x_t - c1 * e_theta) + sigma * z
-            return x_next, None
-
-        ts = jnp.arange(self.num_steps, 0, -1)
-        rngs = jax.random.split(rng, self.num_steps)
-        x_0, _ = jax.lax.scan(body, x_T, (ts, rngs))
-        return x_0
+        zs = jax.random.normal(rng, (self.num_steps,) + x_T.shape)
+        net_fn = lambda x, t: self.net(x, self._time_token(jnp.full((b,), t, jnp.int32)), ctx)
+        return ddpm_sample(self.var_sched, net_fn, x_T, zs, flexibility)
 
     def __call__(self, x_0: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
         """Init path: one denoiser application (for parameter shapes)."""

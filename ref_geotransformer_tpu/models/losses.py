@@ -29,6 +29,21 @@ def _masked_mean(values, masks):
     return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _safe_sqrt(x):
+    """sqrt with zero (not inf) gradient at x == 0.
+
+    Padded coarse nodes all carry identical (zero-input) features, so the
+    normalized pairwise distance between two padded slots is EXACTLY 0;
+    sqrt'(0) = inf there, and the circle loss's zero weights then produce
+    0 * inf = NaN in the gradient — which optax.apply_if_finite silently
+    turns into a skipped step, freezing training. Torch never hits this
+    because the reference boolean-indexes valid rows before the loss. The
+    double-where keeps the primal EXACTLY sqrt(x) (torch-parity-safe) while
+    zeroing the pad-pair cotangents."""
+    safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.sqrt(safe), 0.0)
+
+
 def weighted_circle_loss(
     pos_masks: jnp.ndarray,
     neg_masks: jnp.ndarray,
@@ -86,7 +101,7 @@ def coarse_matching_loss(
     Uses output['ref_feats_c'] (M, C) / ['src_feats_c'] (N, C) (L2-normalized),
     ['gt_node_overlap_map'] (M, N) dense overlaps, and node validity masks.
     """
-    feat_dists = jnp.sqrt(pairwise_distance(output["ref_feats_c"], output["src_feats_c"], normalized=True))
+    feat_dists = _safe_sqrt(pairwise_distance(output["ref_feats_c"], output["src_feats_c"], normalized=True))
     overlaps = output["gt_node_overlap_map"]
     valid = jnp.logical_and(output["ref_node_masks"][:, None], output["src_node_masks"][None, :])
     pos_masks = jnp.logical_and(overlaps > cfg.positive_overlap, valid)

@@ -333,7 +333,7 @@ def test_weighted_circle_loss_parity():
 # ---------------------------------------------------------------------------
 
 
-def _jax_parity_config(pcfg, capacities, neighbor_limits):
+def _jax_parity_config(pcfg, capacities, neighbor_limits, fine_level=1):
     from ref_geotransformer_tpu.config import (
         BackboneConfig,
         CapacityConfig,
@@ -362,7 +362,7 @@ def _jax_parity_config(pcfg, capacities, neighbor_limits):
             input_dim=pcfg.backbone.input_dim,
             init_dim=pcfg.backbone.init_dim,
             output_dim=pcfg.backbone.output_dim,
-            fine_level=1,
+            fine_level=fine_level,
             dtype="float32",
         ),
         model=ModelConfig(

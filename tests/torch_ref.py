@@ -120,9 +120,31 @@ def ref_modules():
 def ref_experiment():
     """Import the reference 3DMatch experiment's model.py/backbone.py
     (experiments/geotransformer.3dmatch.../model.py:19-212)."""
+    return ref_experiment_variant("3dmatch")
+
+
+_EXP_DIRS = {
+    "3dmatch": "geotransformer.3dmatch.stage4.gse.k3.max.oacl.stage2.sinkhorn",
+    "kitti": "geotransformer.kitti.stage5.gse.k3.max.oacl.stage2.sinkhorn",
+    "modelnet": "geotransformer.modelnet.rpmnet.stage4.gse.k3.max.oacl.stage2.sinkhorn",
+}
+
+
+def ref_experiment_variant(name: str):
+    """Import one reference experiment's model module. All three experiment
+    dirs use the colliding top-level module names `model`/`backbone`, so evict
+    any previously imported pair and pin sys.path to the requested dir."""
     ref_modules()
-    if EXP_3DMATCH not in sys.path:
-        sys.path.insert(0, EXP_3DMATCH)
+    exp_dir = os.path.join(REF_ROOT, "experiments", _EXP_DIRS[name])
+    for colliding in ("model", "backbone"):
+        mod = sys.modules.get(colliding)
+        if mod is not None and getattr(mod, "__file__", "") != os.path.join(exp_dir, f"{colliding}.py"):
+            del sys.modules[colliding]
+    for other in _EXP_DIRS.values():
+        p = os.path.join(REF_ROOT, "experiments", other)
+        if p in sys.path:
+            sys.path.remove(p)
+    sys.path.insert(0, exp_dir)
     return importlib.import_module("model")
 
 
