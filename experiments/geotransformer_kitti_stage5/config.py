@@ -45,15 +45,28 @@ DATASET_ROOT = os.environ.get("REF_GT_KITTI_ROOT", osp.join(_ROOT_DIR, "data", "
 
 
 def make_cfg() -> GeoTransformerConfig:
+    capacities = CapacityConfig(
+        points=(30720, 10240, 3072, 1024, 384),
+        neighbor_limits=(40, 38, 36, 36, 34),
+        gt_candidates=2048,
+        correspondence_limit=8192,
+        search_chunk=2048,
+    )
+    # REF_GT_CAPS_SCALE shrinks the static point capacities (fixture-size
+    # scans / fast CI); channel dims are untouched (same knob as 3dmatch)
+    scale = float(os.environ.get("REF_GT_CAPS_SCALE", "1.0"))
+    if scale != 1.0:
+        pts = tuple(max(128, int(p * scale)) for p in capacities.points)
+        capacities = CapacityConfig(
+            points=pts,
+            neighbor_limits=capacities.neighbor_limits,
+            gt_candidates=min(capacities.gt_candidates, pts[-1] * 4),
+            correspondence_limit=min(capacities.correspondence_limit, 2048),
+            search_chunk=min(capacities.search_chunk, 512),
+        )
     return GeoTransformerConfig(
         seed=7351,
-        capacities=CapacityConfig(
-            points=(30720, 10240, 3072, 1024, 384),
-            neighbor_limits=(40, 38, 36, 36, 34),
-            gt_candidates=2048,
-            correspondence_limit=8192,
-            search_chunk=2048,
-        ),
+        capacities=capacities,
         backbone=BackboneConfig(
             num_stages=5,
             init_voxel_size=0.3,

@@ -91,13 +91,34 @@ def main():
     train_step = make_train_step(model, cfg, donate=False)
     eval_step = make_eval_step(model, cfg)
 
+    def notfinite_count(opt_state):
+        """optax.apply_if_finite skip counter (silent-freeze diagnostic)."""
+        found = []
+
+        def rec(x):
+            if hasattr(x, "notfinite_count"):
+                found.append(int(jax.device_get(x.notfinite_count)))
+            if hasattr(x, "_fields"):
+                for f in x._fields:
+                    rec(getattr(x, f))
+            elif isinstance(x, (list, tuple)):
+                for y in x:
+                    rec(y)
+
+        rec(opt_state)
+        return max(found) if found else -1
+
     traj = []
     rng = jax.random.key(1)
+    losses = None
     t0 = time.time()
     for i in range(args.steps + 1):
         if i % args.log_every == 0:
             m = jax.device_get(eval_step(state, batch))
             row = {"step": i, **{k: round(float(v), 4) for k, v in m.items()}}
+            if losses is not None:
+                row["train_loss"] = round(float(losses["loss"]), 4)
+            row["skipped_steps"] = notfinite_count(state.opt_state)
             traj.append(row)
             print(json.dumps(row), flush=True)
         if i == args.steps:

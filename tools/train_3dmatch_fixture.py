@@ -112,30 +112,78 @@ def run(cmd, env):
     return proc.stdout
 
 
+def _parse_summary(stdout: str) -> dict:
+    """eval.py prints a python dict as its last line; parse it."""
+    import ast
+
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return ast.literal_eval(line)
+    return {}
+
+
+def _parse_val_lines(log_path: str) -> list:
+    """Extract the per-epoch '[Val] ...' metric lines from train.log."""
+    if not osp.isfile(log_path):
+        return []
+    with open(log_path) as f:
+        return [line.split("[Val]", 1)[1].strip() for line in f if "[Val]" in line]
+
+
+def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
+          resume: bool = False) -> dict:
+    """Run the full trainval -> test -> eval CLI stack; returns parsed
+    metrics (eval summaries per method + per-epoch val log lines)."""
+    if not (reuse_tree and osp.isdir(osp.join(root, "metadata"))):
+        make_fixture_tree(root)
+    out_root = osp.join(root, "output")
+    env = dict(os.environ,
+               REF_GT_3DMATCH_ROOT=root,
+               REF_GT_OUTPUT_ROOT=out_root,
+               REF_GT_CAPS_SCALE=str(scale))
+
+    py = sys.executable
+    train_cmd = [py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),
+                 "--log_steps", "1"]
+    if resume:
+        train_cmd.append("--resume")
+    run(train_cmd, env)
+    run([py, osp.join(EXP_DIR, "test.py"), "--snapshot", f"epoch-{epochs}",
+         "--benchmark", "val"], env)
+    out_lgr = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "lgr"], env)
+    out_svd = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "svd"], env)
+
+    exp_out = osp.join(out_root, osp.basename(EXP_DIR))
+    return {
+        "ok": True,
+        "epochs": epochs,
+        "scale": scale,
+        "eval_lgr": _parse_summary(out_lgr),
+        "eval_svd": _parse_summary(out_svd),
+        "val_log": _parse_val_lines(osp.join(exp_out, "logs", "train.log")),
+        "snapshot_dir": osp.join(exp_out, "snapshots"),
+        "feature_dir": osp.join(exp_out, "features"),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--scale", type=float, default=0.1)
     parser.add_argument("--root", default="/tmp/threedmatch_fixture")
+    parser.add_argument("--reuse_tree", action="store_true",
+                        help="keep an existing fixture tree (continue training)")
+    parser.add_argument("--resume", action="store_true", help="resume trainval from snapshot")
+    parser.add_argument("--out", default=None, help="write the parsed metrics JSON here")
     args = parser.parse_args()
 
-    make_fixture_tree(args.root)
-    out_root = osp.join(args.root, "output")
-    env = dict(os.environ,
-               REF_GT_3DMATCH_ROOT=args.root,
-               REF_GT_OUTPUT_ROOT=out_root,
-               REF_GT_CAPS_SCALE=str(args.scale))
-
-    py = sys.executable
-    run([py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(args.epochs),
-         "--log_steps", "1"], env)
-    run([py, osp.join(EXP_DIR, "test.py"), "--snapshot", f"epoch-{args.epochs}",
-         "--benchmark", "val"], env)
-    out_lgr = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "lgr"], env)
-    out_svd = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "svd"], env)
-    print(json.dumps({"ok": True, "epochs": args.epochs, "scale": args.scale,
-                      "eval_lgr_tail": out_lgr.strip().splitlines()[-1],
-                      "eval_svd_tail": out_svd.strip().splitlines()[-1]}))
+    result = drive(args.root, args.epochs, args.scale, reuse_tree=args.reuse_tree,
+                   resume=args.resume)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
