@@ -59,14 +59,25 @@ class LearnableLogOptimalTransport(nn.Module):
 
         num_valid_row = jnp.sum(row_masks.astype(scores.dtype), axis=1)
         num_valid_col = jnp.sum(col_masks.astype(scores.dtype), axis=1)
-        norm = -jnp.log(num_valid_row + num_valid_col)  # (B,)
+        # Degenerate guard: a fully-masked patch (0 valid rows AND cols —
+        # e.g. an invalid sampled training target) would give the dustbin
+        # marginal log(0) + (-log(0)) = NaN. The NaN survives loss masking
+        # through alpha's gradient (sum over ALL dustbin cotangents), so one
+        # empty patch silently freezes training via apply_if_finite. Clamping
+        # inside the logs only changes these garbage (label-masked) patches;
+        # any patch with >= 1 valid row+col is bit-identical (torch-parity
+        # keeps holding: the reference only ever sees non-empty patches,
+        # learnable_sinkhorn.py:34-58).
+        norm = -jnp.log(jnp.maximum(num_valid_row + num_valid_col, 1.0))  # (B,)
 
         log_mu = jnp.concatenate(
-            [jnp.broadcast_to(norm[:, None], (b, m)), (jnp.log(num_valid_col) + norm)[:, None]], axis=1
+            [jnp.broadcast_to(norm[:, None], (b, m)),
+             (jnp.log(jnp.maximum(num_valid_col, 1.0)) + norm)[:, None]], axis=1
         )
         log_mu = jnp.where(padded_row_valid, log_mu, -self.inf)
         log_nu = jnp.concatenate(
-            [jnp.broadcast_to(norm[:, None], (b, n)), (jnp.log(num_valid_row) + norm)[:, None]], axis=1
+            [jnp.broadcast_to(norm[:, None], (b, n)),
+             (jnp.log(jnp.maximum(num_valid_row, 1.0)) + norm)[:, None]], axis=1
         )
         log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
 

@@ -54,3 +54,31 @@ def test_strong_diagonal_assignment():
     # diagonal should dominate each row of the real block
     for i in range(k):
         assert p[i, i] > 0.8 * p[i, :k].sum()
+
+
+def test_empty_patch_gradient_finite():
+    """A fully-masked patch (0 valid rows AND cols — an invalid sampled
+    training target) must not poison d(loss)/d(alpha): the dustbin marginal
+    log(0) + (-log(0)) = NaN survived loss masking through alpha's summed
+    cotangents and made optax.apply_if_finite skip EVERY step (silent
+    training freeze, diagnosed round 3 on the real chip)."""
+    ot = LearnableLogOptimalTransport(num_iterations=10, use_pallas=False)
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.normal(size=(3, 5, 6)).astype(np.float32))
+    row_masks = jnp.asarray(np.array([[True] * 5, [True] * 5, [False] * 5]))
+    col_masks = jnp.asarray(np.array([[True] * 6, [True] * 6, [False] * 6]))
+    variables = ot.init(jax.random.key(0), scores, row_masks, col_masks)
+
+    def loss_fn(params, s):
+        out = ot.apply({"params": params}, s, row_masks, col_masks)
+        # only the two VALID patches contribute, exactly like the masked loss
+        return jnp.sum(out[:2] ** 2) / 100.0
+
+    grads_p, grads_s = jax.grad(loss_fn, argnums=(0, 1))(variables["params"], scores)
+    assert np.isfinite(float(grads_p["alpha"])), "alpha gradient is NaN"
+    assert bool(jnp.all(jnp.isfinite(grads_s[:2]))), "score gradients NaN in valid patches"
+
+    # valid patches' outputs are bit-identical to a batch without the empty one
+    out_full = ot.apply(variables, scores, row_masks, col_masks)
+    out_sub = ot.apply(variables, scores[:2], row_masks[:2], col_masks[:2])
+    np.testing.assert_array_equal(np.asarray(out_full[:2]), np.asarray(out_sub))
