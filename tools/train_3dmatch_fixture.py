@@ -142,6 +142,9 @@ def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
                REF_GT_3DMATCH_ROOT=root,
                REF_GT_OUTPUT_ROOT=out_root,
                REF_GT_CAPS_SCALE=str(scale))
+    # keep the persistent XLA cache shared across fixture roots (OUTPUT_ROOT
+    # would otherwise redirect it to a throwaway dir)
+    env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
 
     py = sys.executable
     train_cmd = [py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),

@@ -116,6 +116,8 @@ def drive(root: str, epochs: int, scale: float) -> dict:
                REF_GT_KITTI_ROOT=root,
                REF_GT_OUTPUT_ROOT=out_root,
                REF_GT_CAPS_SCALE=str(scale))
+    # keep the persistent XLA cache shared across fixture roots
+    env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
 
     py = sys.executable
     run([py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),
