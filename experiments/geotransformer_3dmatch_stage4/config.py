@@ -141,14 +141,23 @@ def make_cfg(demo: bool = False) -> GeoTransformerConfig:
             rte_threshold=0.3,
         ),
         ransac=RansacConfig(distance_threshold=0.05, num_points=3, num_iterations=1000),
+        # REF_GT_LR / REF_GT_LR_DECAY / REF_GT_USE_AUG support overfit-probe
+        # runs on fixture trees (constant-lr, no augmentation — the
+        # reference's own correctness-probe pattern, modelnet
+        # dataset.py:64,92-98); defaults are the reference values
         optim=OptimConfig(
-            lr=1e-4, lr_decay=0.95, lr_decay_steps=1, weight_decay=1e-6, max_epoch=40, grad_acc_steps=1
+            lr=float(os.environ.get("REF_GT_LR", "1e-4")),
+            lr_decay=float(os.environ.get("REF_GT_LR_DECAY", "0.95")),
+            lr_decay_steps=1,
+            weight_decay=1e-6,
+            max_epoch=40,
+            grad_acc_steps=1,
         ),
         train=TrainDataConfig(
             batch_size=1,
             num_workers=8,
             point_limit=30000,
-            use_augmentation=True,
+            use_augmentation=os.environ.get("REF_GT_USE_AUG", "1") != "0",
             augmentation_noise=0.005,
             augmentation_rotation=1.0,
         ),

@@ -112,7 +112,9 @@ def eval_one_epoch(args, cfg):
             est_logs.append(
                 {
                     "test_pair": [ref_id, src_id],
-                    "num_fragments": get_num_fragments(scene_name),
+                    "num_fragments": get_num_fragments(
+                        scene_name, osp.join(benchmark_dir, scene_name, "gt.log")
+                    ),
                     "transform": est,
                 }
             )

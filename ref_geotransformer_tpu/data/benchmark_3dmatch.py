@@ -39,10 +39,18 @@ SCENE_NAME_TO_ABBR = {
 }
 
 
-def get_num_fragments(scene_name: str) -> int:
-    if scene_name not in SCENE_NAME_TO_NUM_FRAGMENTS:
-        raise ValueError(f'Unsupported test scene name "{scene_name}".')
-    return SCENE_NAME_TO_NUM_FRAGMENTS[scene_name]
+def get_num_fragments(scene_name: str, gt_log_file: str | None = None) -> int:
+    """Fragment count for a benchmark scene. Official scenes come from the
+    reference's table (threedmatch/utils.py:15-40); custom/fixture scenes
+    fall back to the count recorded in the scene's own gt.log header."""
+    if scene_name in SCENE_NAME_TO_NUM_FRAGMENTS:
+        return SCENE_NAME_TO_NUM_FRAGMENTS[scene_name]
+    if gt_log_file is not None and osp.isfile(gt_log_file):
+        with open(gt_log_file) as f:
+            head = f.readline().split()
+        if len(head) >= 3:
+            return int(head[2])
+    raise ValueError(f'Unsupported test scene name "{scene_name}".')
 
 
 def get_scene_abbr(scene_name: str) -> str:

@@ -11,6 +11,7 @@ engine/state.py), and no per-iter cache clearing.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Iterable, Optional
 
@@ -141,11 +142,16 @@ class EpochBasedTrainer:
         self.maybe_resume(resume)
         for hook in self.before_train_hooks:
             hook(self)
+        # per-epoch validation matches the reference trainer; REF_GT_VAL_EVERY
+        # thins it for long fixture/overfit runs where val dwarfs the tiny
+        # train epochs (the final epoch always validates)
+        val_every = int(os.environ.get("REF_GT_VAL_EVERY", "1"))
         while self.epoch < self.max_epoch:
             self.epoch += 1
             self.train_epoch()
             self.ckpt.save_epoch(f"epoch-{self.epoch}", self.state.params, self.state.buffers)
             self.ckpt.save_snapshot(self.state, self.epoch, self.iteration)
-            self.inference_epoch()
+            if self.epoch % val_every == 0 or self.epoch == self.max_epoch:
+                self.inference_epoch()
         for hook in self.after_train_hooks:
             hook(self)

@@ -40,7 +40,7 @@ def _transform(rng):
     return t
 
 
-def make_fixture_tree(root, n_train=4, n_val=2, points=2400):
+def make_fixture_tree(root, n_train=4, n_val=2, points=2400, val_from_train=False):
     """torch-saved .pth fragments + metadata pkls + val benchmark gt files
     (the reference's on-disk layout, threedmatch/dataset.py:52-66)."""
     import torch
@@ -77,8 +77,26 @@ def make_fixture_tree(root, n_train=4, n_val=2, points=2400):
             pickle.dump(metadata, f)
         return metadata
 
-    build_split("train", [(0, 2), (1, 4), (3, 6), (5, 8)][:n_train])
-    val_meta = build_split("val", [(0, 3), (1, 5)][:n_val])
+    # train pairs (2i, 2i+1) keep every fragment id unique; val reuses ids in
+    # a disjoint split dir so frame naming stays benchmark-compatible
+    train_meta = build_split("train", [(2 * i, 2 * i + 1) for i in range(n_train)])
+    if val_from_train:
+        # overfit-probe mode: the val/benchmark pairs ARE the train pairs
+        # (the reference's own correctness-probe pattern, modelnet
+        # dataset.py:64,92-98) — copy fragments into the val split dir
+        os.makedirs(osp.join(root, "data", "val", scene), exist_ok=True)
+        val_meta = []
+        for m in train_meta[:n_val]:
+            vm = dict(m)
+            for key in ("pcd0", "pcd1"):
+                dst = m[key].replace("train/", "val/", 1)
+                shutil.copyfile(osp.join(root, "data", m[key]), osp.join(root, "data", dst))
+                vm[key] = dst
+            val_meta.append(vm)
+        with open(osp.join(root, "metadata", "val.pkl"), "wb") as f:
+            pickle.dump(val_meta, f)
+    else:
+        val_meta = build_split("val", [(0, 3), (1, 5)][:n_val])
 
     # "val" doubles as a benchmark: gt.log + covariance gt.info
     bench_dir = osp.join(root, "metadata", "benchmarks", "val", scene)
@@ -132,16 +150,26 @@ def _parse_val_lines(log_path: str) -> list:
 
 
 def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
-          resume: bool = False) -> dict:
+          resume: bool = False, train_pairs: int = 4, overfit: bool = False,
+          points: int = 2400, val_every: int = 10) -> dict:
     """Run the full trainval -> test -> eval CLI stack; returns parsed
-    metrics (eval summaries per method + per-epoch val log lines)."""
+    metrics (eval summaries per method + per-epoch val log lines).
+
+    overfit=True is the train-to-registration probe: val == train pairs,
+    constant LR, no augmentation, all pairs in one global batch (the regime
+    OVERFIT_PROBE_r03.json proved converges) — the stack must drive eval RR
+    to ~1."""
     if not (reuse_tree and osp.isdir(osp.join(root, "metadata"))):
-        make_fixture_tree(root)
+        make_fixture_tree(root, n_train=train_pairs, n_val=min(2, train_pairs) if overfit else 2,
+                          val_from_train=overfit, points=points)
     out_root = osp.join(root, "output")
     env = dict(os.environ,
                REF_GT_3DMATCH_ROOT=root,
                REF_GT_OUTPUT_ROOT=out_root,
                REF_GT_CAPS_SCALE=str(scale))
+    if overfit:
+        env.update(REF_GT_LR_DECAY="1.0", REF_GT_USE_AUG="0",
+                   REF_GT_VAL_EVERY=str(val_every))
     # keep the persistent XLA cache shared across fixture roots (OUTPUT_ROOT
     # would otherwise redirect it to a throwaway dir)
     env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
@@ -149,6 +177,8 @@ def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
     py = sys.executable
     train_cmd = [py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),
                  "--log_steps", "1"]
+    if overfit:
+        train_cmd += ["--batch_size", str(train_pairs)]
     if resume:
         train_cmd.append("--resume")
     run(train_cmd, env)
@@ -178,11 +208,19 @@ def main():
     parser.add_argument("--reuse_tree", action="store_true",
                         help="keep an existing fixture tree (continue training)")
     parser.add_argument("--resume", action="store_true", help="resume trainval from snapshot")
+    parser.add_argument("--train_pairs", type=int, default=4,
+                        help="fixture train pairs (more pairs = more steps/epoch)")
+    parser.add_argument("--overfit", action="store_true",
+                        help="train-to-registration probe: val==train, constant LR, no aug")
+    parser.add_argument("--points", type=int, default=2400, help="points per fixture fragment")
+    parser.add_argument("--val_every", type=int, default=10,
+                        help="overfit mode: validate every N epochs")
     parser.add_argument("--out", default=None, help="write the parsed metrics JSON here")
     args = parser.parse_args()
 
     result = drive(args.root, args.epochs, args.scale, reuse_tree=args.reuse_tree,
-                   resume=args.resume)
+                   resume=args.resume, train_pairs=args.train_pairs, overfit=args.overfit,
+                   points=args.points, val_every=args.val_every)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
