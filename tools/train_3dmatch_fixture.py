@@ -40,9 +40,16 @@ def _transform(rng):
     return t
 
 
-def make_fixture_tree(root, n_train=4, n_val=2, points=2400, val_from_train=False):
+def make_fixture_tree(root, n_train=4, n_val=2, points=2400, val_from_train=False,
+                      real_base=None):
     """torch-saved .pth fragments + metadata pkls + val benchmark gt files
-    (the reference's on-disk layout, threedmatch/dataset.py:52-66)."""
+    (the reference's on-disk layout, threedmatch/dataset.py:52-66).
+
+    real_base: optional list of .npy cloud paths — fragments become random
+    subsets of REAL scans instead of synthetic height-field surfaces.
+    Smooth synthetic surfaces are geometrically self-similar, which starves
+    the coarse matching supervision; real indoor geometry overfits much
+    faster (the regime OVERFIT_PROBE_r03.json proved)."""
     import torch
 
     from ref_geotransformer_tpu.data.benchmark_3dmatch import write_log_file
@@ -52,13 +59,17 @@ def make_fixture_tree(root, n_train=4, n_val=2, points=2400, val_from_train=Fals
     if osp.isdir(root):
         shutil.rmtree(root)
     os.makedirs(osp.join(root, "metadata"))
+    bases = [np.load(p).astype(np.float32) for p in real_base] if real_base else None
 
     def build_split(split, pairs):
         os.makedirs(osp.join(root, "data", split, scene), exist_ok=True)
         metadata = []
-        for frag0, frag1 in pairs:
+        for pair_i, (frag0, frag1) in enumerate(pairs):
             gt = _transform(rng)
-            base = _surface(rng, int(points * 1.3))
+            if bases is not None:
+                base = bases[pair_i % len(bases)]
+            else:
+                base = _surface(rng, int(points * 1.3))
             ref = base[rng.permutation(len(base))[:points]]
             src_sel = base[rng.permutation(len(base))[:points]]
             src = (src_sel - gt[:3, 3]) @ gt[:3, :3]
@@ -151,7 +162,7 @@ def _parse_val_lines(log_path: str) -> list:
 
 def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
           resume: bool = False, train_pairs: int = 4, overfit: bool = False,
-          points: int = 2400, val_every: int = 10) -> dict:
+          points: int = 2400, val_every: int = 10, real: bool = False) -> dict:
     """Run the full trainval -> test -> eval CLI stack; returns parsed
     metrics (eval summaries per method + per-epoch val log lines).
 
@@ -160,8 +171,12 @@ def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
     OVERFIT_PROBE_r03.json proved converges) — the stack must drive eval RR
     to ~1."""
     if not (reuse_tree and osp.isdir(osp.join(root, "metadata"))):
+        real_base = None
+        if real:
+            real_base = [osp.join(ROOT, "data", "demo", "ref.npy"),
+                         osp.join(ROOT, "data", "demo", "src.npy")]
         make_fixture_tree(root, n_train=train_pairs, n_val=min(2, train_pairs) if overfit else 2,
-                          val_from_train=overfit, points=points)
+                          val_from_train=overfit, points=points, real_base=real_base)
     out_root = osp.join(root, "output")
     env = dict(os.environ,
                REF_GT_3DMATCH_ROOT=root,
@@ -215,12 +230,14 @@ def main():
     parser.add_argument("--points", type=int, default=2400, help="points per fixture fragment")
     parser.add_argument("--val_every", type=int, default=10,
                         help="overfit mode: validate every N epochs")
+    parser.add_argument("--real", action="store_true",
+                        help="build fragments from the real demo scans instead of synthetic surfaces")
     parser.add_argument("--out", default=None, help="write the parsed metrics JSON here")
     args = parser.parse_args()
 
     result = drive(args.root, args.epochs, args.scale, reuse_tree=args.reuse_tree,
                    resume=args.resume, train_pairs=args.train_pairs, overfit=args.overfit,
-                   points=args.points, val_every=args.val_every)
+                   points=args.points, val_every=args.val_every, real=args.real)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
