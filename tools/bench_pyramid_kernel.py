@@ -1,0 +1,126 @@
+"""A/B the Pallas group-min prefilter against the approx_min_k baseline on
+the real L0/L1 search shapes (VERDICT r2 item 4).
+
+For each variant: scan-amortized time (tools/_timing.py floor correction)
+AND true-neighbor recall vs the exact top-k on the same real demo cloud —
+the quality gate that retired the grid-bucket path in round 1.
+
+Usage: python tools/bench_pyramid_kernel.py [--inner 20] [--out FILE.json]
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+sys.path.insert(
+    0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments", "geotransformer_3dmatch_stage4")
+)
+
+import numpy as np
+
+from _timing import scan_timeit
+
+
+def recall_vs_exact(idx, exact_idx, k):
+    hits = 0
+    for i in range(idx.shape[0]):
+        hits += len(set(idx[i, :k].tolist()) & set(exact_idx[i, :k].tolist()))
+    return hits / (idx.shape[0] * k)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--inner", type=int, default=20)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from config import make_cfg
+    from ref_geotransformer_tpu.data import pad_points
+    from ref_geotransformer_tpu.data.pyramid import build_pyramid
+    from ref_geotransformer_tpu.ops import selection
+    from ref_geotransformer_tpu.ops.pairwise import pairwise_distance
+    from ref_geotransformer_tpu.ops.pallas_select import group_min_prefilter
+
+    cfg = make_cfg(demo=True)
+    caps = cfg.capacities.points
+    nls = cfg.capacities.neighbor_limits
+    k = nls[0]
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
+    p0_np, m0_np = pad_points(ref_raw, caps[0])
+    p0, m0 = jnp.array(p0_np), jnp.array(m0_np)
+    n = caps[0]
+    results = {"n": n, "k": int(k), "variants": {}}
+
+    # ---- baseline: chunked approx_min_k (the shipped path) ----
+    def baseline(p, recall):
+        chunks = p.reshape(-1, 2048, 3)
+
+        def body(q):
+            sq = pairwise_distance(q, p)
+            sq = jnp.where(~m0[None, :], 1e12, sq)
+            return selection.min_k(sq, k, recall_target=recall)
+
+        d, i = jax.lax.map(body, chunks)
+        return d.reshape(n, k), i.reshape(n, k)
+
+    # exact oracle (once, not timed)
+    print("computing exact oracle (exact top-k)...", flush=True)
+
+    def exact(p):
+        chunks = p.reshape(-1, 2048, 3)
+
+        def body(q):
+            sq = pairwise_distance(q, p)
+            sq = jnp.where(~m0[None, :], 1e12, sq)
+            neg, i = jax.lax.top_k(-sq, k)
+            return -neg, i
+
+        d, i = jax.lax.map(body, chunks)
+        return i.reshape(n, k)
+
+    exact_idx = np.array(jax.jit(exact)(p0))
+
+    for recall in (0.90, 0.95):
+        name = f"baseline_approx_{recall}"
+        ms = scan_timeit(name, lambda p, r=recall: baseline(p, r)[0], p0, inner=args.inner)
+        idx = np.array(jax.jit(lambda p, r=recall: baseline(p, r)[1])(p0))
+        rec = recall_vs_exact(idx, exact_idx, k)
+        print(f"  recall vs exact: {rec:.4f}")
+        results["variants"][name] = {"ms": ms, "recall": rec}
+
+    # ---- prefilter variants ----
+    for g in (4, 8, 16):
+        for stage2 in (0.90, 0.95):
+            name = f"prefilter_g{g}_s2r{stage2}"
+
+            def pf(p, g=g, stage2=stage2):
+                vals, idx = group_min_prefilter(p, p, m0, g)
+                d, pos = selection.min_k(vals, k, recall_target=stage2)
+                return d, jnp.take_along_axis(idx, pos, axis=1)
+
+            ms = scan_timeit(name, lambda p: pf(p)[0], p0, inner=args.inner)
+            idx = np.array(jax.jit(lambda p: pf(p)[1])(p0))
+            rec = recall_vs_exact(idx, exact_idx, k)
+            print(f"  recall vs exact: {rec:.4f}")
+            results["variants"][name] = {"ms": ms, "recall": rec}
+
+    # prefilter stage-1 alone (kernel ceiling)
+    ms = scan_timeit("prefilter_stage1_only_g8", lambda p: group_min_prefilter(p, p, m0, 8)[0],
+                     p0, inner=args.inner)
+    results["variants"]["stage1_only_g8"] = {"ms": ms}
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
