@@ -19,16 +19,11 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=300)
-    parser.add_argument("--scale", type=float, default=0.25)
-    parser.add_argument("--pairs", type=int, default=2)
-    parser.add_argument("--log_every", type=int, default=20)
-    parser.add_argument("--lr", type=float, default=None)
-    parser.add_argument("--out", default=None, help="write trajectory JSON here")
-    args = parser.parse_args()
-
+def run_probe(steps: int = 300, scale: float = 0.25, pairs: int = 2,
+              log_every: int = 20, lr: float = None, out: str = None) -> dict:
+    """Train the flagship model on `pairs` fixed synthetic pairs and return
+    the {loss, PIR/IR/RRE/RTE/RMSE/RR} trajectory (the loss->registration
+    causal probe; committed full-scale artifact: OVERFIT_PROBE_r03.json)."""
     import dataclasses
 
     import jax
@@ -41,13 +36,13 @@ def main():
     import __graft_entry__ as g
     from ref_geotransformer_tpu.engine import create_train_state, make_eval_step, make_train_step
 
-    cfg, model, variables, data0 = g._flagship_setup(scale=args.scale)
-    if args.lr is not None:
-        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    cfg, model, variables, data0 = g._flagship_setup(scale=scale)
+    if lr is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=lr))
 
     # a few distinct pairs (different seeds of the same synthetic surface)
-    pairs = [data0]
-    if args.pairs > 1:
+    pair_list = [data0]
+    if pairs > 1:
         rng = np.random.default_rng(99)
         import jax.numpy as jnp
 
@@ -55,7 +50,7 @@ def main():
         from scipy.spatial.transform import Rotation
 
         cap0 = cfg.capacities.points[0]
-        for _ in range(args.pairs - 1):
+        for _ in range(pairs - 1):
             n = cap0 * 3 // 4
             base = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
             base[:, 2] = 0.3 * np.sin(3 * base[:, 0]) + 0.2 * base[:, 1]
@@ -69,7 +64,7 @@ def main():
             src = (src_sel - gt[:3, 3]) @ gt[:3, :3]
             ref_p, ref_m = pad_points(ref, cap0)
             src_p, src_m = pad_points(src, cap0)
-            pairs.append(
+            pair_list.append(
                 build_registration_inputs(
                     jnp.array(ref_p), jnp.array(ref_m), jnp.array(src_p), jnp.array(src_m),
                     cfg.backbone.num_stages,
@@ -84,9 +79,9 @@ def main():
 
     import jax.numpy as jnp
 
-    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *pairs)
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *pair_list)
     state, _ = create_train_state(
-        model, pairs[0], cfg.optim, steps_per_epoch=args.steps, rng=jax.random.key(0)
+        model, pair_list[0], cfg.optim, steps_per_epoch=steps, rng=jax.random.key(0)
     )
     train_step = make_train_step(model, cfg, donate=False)
     eval_step = make_eval_step(model, cfg)
@@ -112,8 +107,8 @@ def main():
     rng = jax.random.key(1)
     losses = None
     t0 = time.time()
-    for i in range(args.steps + 1):
-        if i % args.log_every == 0:
+    for i in range(steps + 1):
+        if i % log_every == 0:
             m = jax.device_get(eval_step(state, batch))
             row = {"step": i, **{k: round(float(v), 4) for k, v in m.items()}}
             if losses is not None:
@@ -121,20 +116,34 @@ def main():
             row["skipped_steps"] = notfinite_count(state.opt_state)
             traj.append(row)
             print(json.dumps(row), flush=True)
-        if i == args.steps:
+        if i == steps:
             break
         rng, sub = jax.random.split(rng)
         state, losses = train_step(state, batch, sub)
     dt = time.time() - t0
     result = {
-        "tool": "overfit_probe", "steps": args.steps, "pairs": args.pairs,
-        "scale": args.scale, "lr": args.lr or cfg.optim.lr,
+        "tool": "overfit_probe", "steps": steps, "pairs": pairs,
+        "scale": scale, "lr": lr or cfg.optim.lr,
         "seconds": round(dt, 1), "trajectory": traj,
     }
-    if args.out:
-        with open(args.out, "w") as f:
+    if out:
+        with open(out, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "trajectory"}))
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--scale", type=float, default=0.25)
+    parser.add_argument("--pairs", type=int, default=2)
+    parser.add_argument("--log_every", type=int, default=20)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--out", default=None, help="write trajectory JSON here")
+    args = parser.parse_args()
+    run_probe(steps=args.steps, scale=args.scale, pairs=args.pairs,
+              log_every=args.log_every, lr=args.lr, out=args.out)
 
 
 if __name__ == "__main__":

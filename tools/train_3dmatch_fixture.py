@@ -94,13 +94,18 @@ def make_fixture_tree(root, n_train=4, n_val=2, points=2400, val_from_train=Fals
     if val_from_train:
         # overfit-probe mode: the val/benchmark pairs ARE the train pairs
         # (the reference's own correctness-probe pattern, modelnet
-        # dataset.py:64,92-98) — copy fragments into the val split dir
+        # dataset.py:64,92-98) — copy fragments into the val split dir.
+        # Remap fragment ids to (3i, 3i+2): the benchmark RR protocol only
+        # scores NON-consecutive pairs (reference threedmatch/utils.py
+        # evaluate_registration_one_scene; benchmark_3dmatch.py:162), so
+        # gap-1 ids would leave RR with an empty denominator.
         os.makedirs(osp.join(root, "data", "val", scene), exist_ok=True)
         val_meta = []
-        for m in train_meta[:n_val]:
+        for i, m in enumerate(train_meta[:n_val]):
             vm = dict(m)
-            for key in ("pcd0", "pcd1"):
-                dst = m[key].replace("train/", "val/", 1)
+            vm["frag_id0"], vm["frag_id1"] = 3 * i, 3 * i + 2
+            for key, fid in (("pcd0", vm["frag_id0"]), ("pcd1", vm["frag_id1"])):
+                dst = f"val/{scene}/cloud_bin_{fid}.pth"
                 shutil.copyfile(osp.join(root, "data", m[key]), osp.join(root, "data", dst))
                 vm[key] = dst
             val_meta.append(vm)
