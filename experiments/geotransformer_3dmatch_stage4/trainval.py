@@ -53,6 +53,14 @@ def main():
     model = GeoTransformer(cfg)
     example = next(iter(train_loader))
     example_pair = jax.tree_util.tree_map(lambda x: x[0], example)
+    # stderr breadcrumb: model.init is the first big on-device compile, and a
+    # cold TPU server can take many minutes here with no other output
+    import datetime
+    import sys as _sys
+
+    print(f"[{datetime.datetime.now():%H:%M:%S}] initializing model "
+          f"(first on-device compile; minutes on a cold TPU server)...",
+          file=_sys.stderr, flush=True)
     state, schedule = create_train_state(
         model,
         ensure_pyramids(cfg, example_pair),

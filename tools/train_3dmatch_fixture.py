@@ -167,7 +167,8 @@ def _parse_val_lines(log_path: str) -> list:
 
 def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
           resume: bool = False, train_pairs: int = 4, overfit: bool = False,
-          points: int = 2400, val_every: int = 10, real: bool = False) -> dict:
+          points: int = 2400, val_every: int = 10, real: bool = False,
+          skip_train: bool = False) -> dict:
     """Run the full trainval -> test -> eval CLI stack; returns parsed
     metrics (eval summaries per method + per-epoch val log lines).
 
@@ -201,7 +202,8 @@ def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
         train_cmd += ["--batch_size", str(train_pairs)]
     if resume:
         train_cmd.append("--resume")
-    run(train_cmd, env)
+    if not skip_train:
+        run(train_cmd, env)
     run([py, osp.join(EXP_DIR, "test.py"), "--snapshot", f"epoch-{epochs}",
          "--benchmark", "val"], env)
     out_lgr = run([py, osp.join(EXP_DIR, "eval.py"), "--benchmark", "val", "--method", "lgr"], env)
@@ -237,12 +239,15 @@ def main():
                         help="overfit mode: validate every N epochs")
     parser.add_argument("--real", action="store_true",
                         help="build fragments from the real demo scans instead of synthetic surfaces")
+    parser.add_argument("--skip_train", action="store_true",
+                        help="rerun only test.py + eval.py on existing snapshots (needs --reuse_tree)")
     parser.add_argument("--out", default=None, help="write the parsed metrics JSON here")
     args = parser.parse_args()
 
     result = drive(args.root, args.epochs, args.scale, reuse_tree=args.reuse_tree,
                    resume=args.resume, train_pairs=args.train_pairs, overfit=args.overfit,
-                   points=args.points, val_every=args.val_every, real=args.real)
+                   points=args.points, val_every=args.val_every, real=args.real,
+                   skip_train=args.skip_train)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
