@@ -18,6 +18,15 @@ __version__ = "0.1.0"
 # knobs documented in utils/jax_utils.setup_compilation_cache.
 import os as _os
 
+try:
+    from ref_geotransformer_tpu.utils.jax_utils import honor_platform_env as _hpe
+
+    # $JAX_PLATFORMS must win even when a site plugin pinned the platform
+    # list programmatically (see utils/jax_utils.honor_platform_env)
+    _hpe()
+except Exception:
+    pass
+
 if _os.environ.get("REF_GT_NO_COMPILE_CACHE") != "1":
     try:
         from ref_geotransformer_tpu.utils.jax_utils import setup_compilation_cache as _scc

@@ -16,6 +16,18 @@ import jax
 import numpy as np
 
 
+def honor_platform_env() -> None:
+    """Make $JAX_PLATFORMS effective even when a site plugin pinned the
+    platform list programmatically (the sandbox's axon TPU tunnel sets
+    jax_platforms='axon,cpu' at import, after which the env var alone is a
+    no-op). Entry points call this (via setup_compilation_cache) so
+    `JAX_PLATFORMS=cpu trainval.py ...` really runs on CPU — the fixture
+    CLI regressions (tests/test_fixture_cli_e2e.py) depend on it."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env and jax.config.jax_platforms != env:
+        jax.config.update("jax_platforms", env)
+
+
 def setup_compilation_cache(path: Optional[str] = None) -> str:
     """Enable JAX's persistent compilation cache for every entry point.
 
@@ -25,6 +37,7 @@ def setup_compilation_cache(path: Optional[str] = None) -> str:
     processes and machines. Location: $REF_GT_COMPILE_CACHE, else
     `<REF_GT_OUTPUT_ROOT>/xla_cache`, else `~/.cache/ref_gt_xla`.
     """
+    honor_platform_env()
     if path is None:
         path = os.environ.get("REF_GT_COMPILE_CACHE")
     if path is None:
