@@ -29,7 +29,8 @@ def _check_common(res, eval_keys):
     assert res["ok"]
     assert osp.isdir(res["snapshot_dir"])
     assert glob.glob(osp.join(res["snapshot_dir"], "epoch-1*")), "epoch snapshot missing"
-    npzs = sorted(glob.glob(osp.join(res["feature_dir"], "*.npz")))
+    # 3dmatch dumps under features/<benchmark>/, kitti flat under features/
+    npzs = sorted(glob.glob(osp.join(res["feature_dir"], "**", "*.npz"), recursive=True))
     assert npzs, "test.py produced no feature dumps"
     data = np.load(npzs[0])
     missing = REQUIRED_NPZ_KEYS - set(data.keys())

@@ -196,10 +196,12 @@ def drive(root: str, epochs: int, scale: float, *, reuse_tree: bool = False,
     env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
 
     py = sys.executable
+    # pin batch_size: the default is max(cfg batch, jax.device_count()), and
+    # a CI parent's xla_force_host_platform_device_count=8 would leak into
+    # the subprocess and overshoot the tiny fixture (empty drop_last loader)
     train_cmd = [py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),
-                 "--log_steps", "1"]
-    if overfit:
-        train_cmd += ["--batch_size", str(train_pairs)]
+                 "--log_steps", "1", "--num_devices", "1",
+                 "--batch_size", str(train_pairs if overfit else 1)]
     if resume:
         train_cmd.append("--resume")
     if not skip_train:

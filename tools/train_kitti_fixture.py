@@ -120,8 +120,11 @@ def drive(root: str, epochs: int, scale: float) -> dict:
     env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
 
     py = sys.executable
+    # pin batch_size=1: the default is max(cfg batch, jax.device_count()),
+    # and a CI parent's xla_force_host_platform_device_count=8 would leak
+    # into the subprocess and overshoot the tiny fixture (empty loader)
     run([py, osp.join(EXP_DIR, "trainval.py"), "--max_epoch", str(epochs),
-         "--log_steps", "1"], env)
+         "--log_steps", "1", "--batch_size", "1", "--num_devices", "1"], env)
     run([py, osp.join(EXP_DIR, "test.py"), "--snapshot", f"epoch-{epochs}"], env)
     out_lgr = run([py, osp.join(EXP_DIR, "eval.py"), "--method", "lgr"], env)
     out_svd = run([py, osp.join(EXP_DIR, "eval.py"), "--method", "svd"], env)
