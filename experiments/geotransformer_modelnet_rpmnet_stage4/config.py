@@ -46,7 +46,9 @@ FEATURE_DIR = osp.join(OUTPUT_DIR, "features")
 MODELNET_ROOT = os.environ.get("REF_GT_MODELNET_ROOT", osp.join(_ROOT_DIR, "data", "ModelNet"))
 LINEMOD_ROOT = os.environ.get("REF_GT_LINEMOD_ROOT", osp.join(_ROOT_DIR, "data"))
 
-DDPM = DDPMConfig()
+# REF_GT_DDPM_STEPS shrinks the diffusion chain for smoke/CI runs (the
+# 100-step reverse sampler dominates DDPM val time on slow backends)
+DDPM = DDPMConfig(num_steps=int(os.environ.get("REF_GT_DDPM_STEPS", "100")))
 
 # LineMod loader knobs (modelnet config.py:47-55)
 LMO = dict(

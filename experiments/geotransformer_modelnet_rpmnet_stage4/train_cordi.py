@@ -20,6 +20,7 @@ def main():
     parser.add_argument("--encoder_snapshot", default=None, help="encoder snapshot name (e.g. iter-100000)")
     parser.add_argument("--max_iteration", type=int, default=None)
     parser.add_argument("--snapshot_steps", type=int, default=None)
+    parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument("--use_modelnet", action="store_true")
     args = parser.parse_args()
 
@@ -94,6 +95,7 @@ def main():
         valid_loader,
         max_iteration=max_iteration,
         snapshot_steps=args.snapshot_steps or cfg.optim.snapshot_steps,
+        log_steps=args.log_steps,
         ddpm_batch_size=DDPM.batch_size,
         snapshot_dir=SNAPSHOT_DDPM_DIR,
         log_file=osp.join(LOG_DIR, "train_cordi.log"),

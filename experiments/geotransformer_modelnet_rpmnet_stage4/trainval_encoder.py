@@ -19,6 +19,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--max_iteration", type=int, default=None)
     parser.add_argument("--snapshot_steps", type=int, default=None)
+    parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument("--use_modelnet", action="store_true", help="train on ModelNet pairs instead of LineMod")
     args = parser.parse_args()
 
@@ -67,6 +68,7 @@ def main():
         valid_loader,
         max_iteration=max_iteration,
         snapshot_steps=args.snapshot_steps or cfg.optim.snapshot_steps,
+        log_steps=args.log_steps,
         snapshot_dir=SNAPSHOT_ENCODER_DIR,
         log_file=osp.join(LOG_DIR, "train_encoder.log"),
         seed=cfg.seed,

@@ -56,3 +56,25 @@ def test_kitti_fixture_cli_stack(tmp_path):
 
     res = drive(str(tmp_path / "tree"), epochs=1, scale=0.04)
     _check_common(res, {"RR", "IR", "FMR", "PIR", "PMR>0"})
+
+
+def test_linemod_twophase_cli_stack(tmp_path):
+    """The full two-phase LineMod flow (trainval_encoder.py ->
+    train_cordi.py --encoder_snapshot) through the real CLIs on a synthetic
+    BOP tree. Structure assertions only at these iteration counts; the
+    loss-descent evidence is the chip artifact (TWOPHASE_r02.json)."""
+    from tools.train_linemod_twophase import drive
+
+    # snapshot_every=3 -> the encoder handoff snapshot iter-6 exists and the
+    # expensive DDPM val runs exactly once; ddpm_steps=8 shrinks the reverse
+    # sampler (100 steps of an 8-layer d512 transformer is minutes/sample
+    # on CPU)
+    res = drive(encoder_iters=6, cordi_iters=3, snapshot_every=3, ddpm_steps=8,
+                data_root=str(tmp_path / "data"), out_root=str(tmp_path / "out"))
+    for key in ("encoder_loss_first", "encoder_loss_last",
+                "cordi_loss_first", "cordi_loss_last"):
+        assert np.isfinite(res[key]), f"{key} not finite: {res[key]}"
+    missing = {"PIR", "PIR_0.5", "PIR_0.25", "IIR"} - set(res["ddpm_val"])
+    assert not missing, f"DDPM val metrics missing: {missing} in {res['ddpm_val']}"
+    for key, value in res["ddpm_val"].items():
+        assert np.isfinite(value), f"ddpm_val[{key}] not finite"

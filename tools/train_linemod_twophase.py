@@ -136,42 +136,60 @@ def parse_val_metrics(log_path: str, keys):
     return out
 
 
-def run_phase(script: str, extra_args, log_name: str) -> str:
+def run_phase(script: str, extra_args, log_name: str, out_dir: str, env=None) -> str:
     cmd = [sys.executable, osp.join(EXP_DIR, script)] + extra_args
     print(f"[twophase] running: {' '.join(cmd)}", flush=True)
-    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True, env=env)
     sys.stdout.write(proc.stdout[-3000:])
     sys.stderr.write(proc.stderr[-3000:])
     if proc.returncode != 0:
         raise SystemExit(f"{script} failed with code {proc.returncode}")
-    return osp.join(OUT_DIR, "logs", log_name)
+    return osp.join(out_dir, "logs", log_name)
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--encoder_iters", type=int, default=200)
-    parser.add_argument("--cordi_iters", type=int, default=100)
-    parser.add_argument("--keep_output", action="store_true")
-    args = parser.parse_args()
+def drive(encoder_iters: int = 200, cordi_iters: int = 100, *,
+          data_root: str = None, out_root: str = None,
+          keep_output: bool = False, snapshot_every: int = None,
+          ddpm_steps: int = None) -> dict:
+    """Run the full two-phase LineMod stack via the real CLIs; returns the
+    parsed summary. data_root/out_root make it hermetic for test use
+    (REF_GT_LINEMOD_ROOT / REF_GT_OUTPUT_ROOT env overrides); defaults are
+    the repo's data/ and output/ like a user run."""
+    env = dict(os.environ)
+    base = osp.join(data_root or DATA_ROOT, "linemod")
+    out_dir = OUT_DIR
+    if data_root is not None:
+        env["REF_GT_LINEMOD_ROOT"] = data_root
+    if out_root is not None:
+        env["REF_GT_OUTPUT_ROOT"] = out_root
+        out_dir = osp.join(out_root, osp.basename(EXP_DIR))
+        # keep the persistent XLA cache shared across throwaway roots
+        env.setdefault("REF_GT_COMPILE_CACHE", osp.expanduser("~/.cache/ref_gt_xla"))
+    if ddpm_steps is not None:
+        env["REF_GT_DDPM_STEPS"] = str(ddpm_steps)
 
-    if not args.keep_output and osp.exists(OUT_DIR):
-        shutil.rmtree(OUT_DIR)
-
-    make_synthetic_linemod_tree(osp.join(DATA_ROOT, "linemod"))
+    if not keep_output and osp.exists(out_dir):
+        shutil.rmtree(out_dir)
+    make_synthetic_linemod_tree(base)
 
     enc_log = run_phase(
         "trainval_encoder.py",
-        ["--max_iteration", str(args.encoder_iters), "--snapshot_steps", str(max(args.encoder_iters // 2, 1))],
-        "train_encoder.log",
+        ["--max_iteration", str(encoder_iters),
+         "--snapshot_steps", str(snapshot_every or max(encoder_iters // 2, 1)),
+         "--log_steps", "1"],
+        "train_encoder.log", out_dir, env,
     )
     enc_traj = parse_loss_trajectory(enc_log)
     assert enc_traj, f"no training losses parsed from {enc_log}"
 
     cordi_log = run_phase(
         "train_cordi.py",
-        ["--max_iteration", str(args.cordi_iters), "--snapshot_steps", str(max(args.cordi_iters // 2, 1)),
-         "--encoder_snapshot", f"iter-{args.encoder_iters}"],
-        "train_cordi.log",
+        # the DDPM val (100-step reverse sampler) is the expensive part on
+        # CPU — snapshot_every lets tests run it exactly once, at the end
+        ["--max_iteration", str(cordi_iters),
+         "--snapshot_steps", str(snapshot_every or max(cordi_iters // 2, 1)),
+         "--encoder_snapshot", f"iter-{encoder_iters}", "--log_steps", "1"],
+        "train_cordi.log", out_dir, env,
     )
     cordi_traj = parse_loss_trajectory(cordi_log)
     assert cordi_traj, f"no training losses parsed from {cordi_log}"
@@ -186,9 +204,9 @@ def main():
     enc_first, enc_last = head_tail(enc_traj)
     cordi_first, cordi_last = head_tail(cordi_traj)
 
-    summary = {
-        "encoder_iters": args.encoder_iters,
-        "cordi_iters": args.cordi_iters,
+    return {
+        "encoder_iters": encoder_iters,
+        "cordi_iters": cordi_iters,
         "encoder_loss_first": round(enc_first, 4),
         "encoder_loss_last": round(enc_last, 4),
         "cordi_loss_first": round(cordi_first, 4),
@@ -198,13 +216,23 @@ def main():
         "encoder_descended": enc_last < enc_first,
         "cordi_descended": cordi_last < cordi_first,
     }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder_iters", type=int, default=200)
+    parser.add_argument("--cordi_iters", type=int, default=100)
+    parser.add_argument("--keep_output", action="store_true")
+    args = parser.parse_args()
+
+    summary = drive(args.encoder_iters, args.cordi_iters, keep_output=args.keep_output)
     print(json.dumps(summary))
     if not summary["encoder_descended"]:
         raise SystemExit("encoder loss did not descend")
     if not summary["cordi_descended"]:
         raise SystemExit("cordi loss did not descend")
-    if not all(k in ddpm_val for k in ("PIR", "PIR_0.5", "PIR_0.25", "IIR")):
-        raise SystemExit(f"DDPM val metrics missing: {ddpm_val}")
+    if not all(k in summary["ddpm_val"] for k in ("PIR", "PIR_0.5", "PIR_0.25", "IIR")):
+        raise SystemExit(f"DDPM val metrics missing: {summary['ddpm_val']}")
 
 
 if __name__ == "__main__":
