@@ -162,6 +162,25 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     dtype_override = os.environ.get("BENCH_DTYPE")
 
+    # Fail fast (with an honest JSON line) instead of hanging forever when
+    # the TPU backend is unreachable — jax.devices() blocks indefinitely
+    # while the axon terminal is down. Smoke mode runs on CPU; skip probing.
+    if not smoke:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+                capture_output=True, check=True,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "3dmatch_full_pairs_per_sec",
+                "value": None, "unit": "pairs/s", "vs_baseline": None,
+                "error": f"device backend unreachable ({type(e).__name__}); "
+                         "no measurement possible this run",
+            }))
+            return
+
     if full or demo_only or smoke:
         print(json.dumps(measure(full, smoke, batch, dtype_override)))
         return
