@@ -10,12 +10,17 @@ Headline metric: pairs/sec at the FULL 3DMatch training capacities
 number is reported alongside in the `demo` field.
 
 Baseline bracket: the reference publishes no pairs/sec. Anchors:
+ - measured (tools/bench_torch_baseline.py -> BASELINE_TORCH_CPU.json): the
+   genuine reference collate (its own C++ cores, compiled verbatim) takes
+   0.93 s/pair on this host; across the reference's 8 DataLoader workers
+   that is 0.12 s/pair — UNDER the paper's 0.296 s/pair GPU forward, so the
+   reference's single-GPU pipeline is forward-bound at 3.38 pairs/s.
  - paper: GeoTransformer reports 0.296 s/pair total pose time on 3DMatch
-   with RANSAC-free LGR => 3.38 pairs/s (model forward only; excludes the
-   reference's per-pair CPU collate: C++ voxel grid + KD-tree searches).
- - estimate: ~5 pairs/s for the full single-GPU PyTorch pipeline including
-   that CPU precompute, on the reference's environment.
-vs_baseline divides by the HIGH anchor (5.0) — the conservative comparison.
+   with RANSAC-free LGR => 3.38 pairs/s.
+ - high guess: 5.0 pairs/s — kept as the CONSERVATIVE denominator ceiling
+   (assumes a forward ~1.5x faster than the paper's own measurement).
+vs_baseline divides by the HIGH anchor (5.0); vs_baseline_measured divides
+by the measured-bracket 3.38 (see BASELINE_TORCH_CPU.json).
 """
 
 import json
@@ -26,9 +31,23 @@ import time
 
 import numpy as np
 
-# high anchor (estimated full torch pipeline); paper anchor 1/0.296 s/pair
+# high anchor (conservative ceiling for the torch pipeline); measured
+# bracket anchor = 1/0.296 s/pair, validated by the measured collate in
+# BASELINE_TORCH_CPU.json (tools/bench_torch_baseline.py)
 BASELINE_PAIRS_PER_SEC = 5.0
 PAPER_PAIRS_PER_SEC = round(1.0 / 0.296, 2)  # 3.38
+
+
+def _measured_baseline() -> float:
+    """Measured-bracket denominator: the reference single-GPU pipeline
+    estimate from BASELINE_TORCH_CPU.json when present, else the paper
+    anchor (the two coincide: the pipeline is forward-bound)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_TORCH_CPU.json")) as f:
+            return float(json.load(f)["single_gpu_pipeline_est_pairs_per_sec"])
+    except Exception:
+        return PAPER_PAIRS_PER_SEC
 
 
 def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
@@ -138,6 +157,7 @@ def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline_measured": round(pairs_per_sec / _measured_baseline(), 3),
         "batch": batch,
         "dtype": bench_dtype,
     }
@@ -206,11 +226,18 @@ def main():
     except (subprocess.TimeoutExpired, OSError):
         pass
 
+    # Stable headline key regardless of which regime got measured: the
+    # regime is an explicit field, so consumers tracking one metric name
+    # never silently mix demo and full-caps numbers across runs.
     if full_payload is not None:
         headline = dict(full_payload)
+        headline["regime"] = "full"
     else:
         headline = dict(demo_payload)
+        headline["regime"] = "demo"
+    headline["metric"] = "3dmatch_pairs_per_sec"
     headline["baseline_pairs_per_sec"] = BASELINE_PAIRS_PER_SEC
+    headline["baseline_measured_pairs_per_sec"] = _measured_baseline()
     headline["baseline_bracket"] = [PAPER_PAIRS_PER_SEC, BASELINE_PAIRS_PER_SEC]
     headline["demo"] = {k: demo_payload[k] for k in ("value", "vs_baseline", "gflops_per_pair", "mfu_pct") if k in demo_payload}
     if full_payload is None:

@@ -95,6 +95,79 @@ def write_log_file(file_name: str, test_pairs: List[Dict]) -> None:
                 f.write("\t".join(str(x) for x in row) + "\n")
 
 
+def read_pose_file(file_name: str) -> np.ndarray:
+    """Read a raw 3DMatch per-fragment pose file: one header line, then the
+    whitespace-separated rows of the 4x4 camera pose
+    (threedmatch/utils.py:52-61)."""
+    with open(file_name) as f:
+        lines = f.readlines()[1:]
+    return np.stack([[float(x) for x in line.split()] for line in lines if line.strip()], axis=0)
+
+
+def voxel_down_sample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Centroid-per-occupied-voxel downsample (numpy, open3d-free). Voxel
+    grid is anchored at the cloud's min bound, matching open3d's
+    voxel_down_sample used by the reference's benchmark-authoring path."""
+    points = np.asarray(points, np.float64)
+    if points.shape[0] == 0:
+        return points.astype(np.float32)
+    keys = np.floor((points - points.min(axis=0)) / voxel_size).astype(np.int64)
+    _, inverse, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    sums = np.zeros((counts.shape[0], 3), np.float64)
+    np.add.at(sums, inverse, points)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def calibrate_ground_truth(
+    ref_points: np.ndarray,
+    src_points: np.ndarray,
+    transform: np.ndarray,
+    voxel_size: float = 0.006,
+    rng: np.random.Generator | None = None,
+):
+    """Overlap + 6x6 gt.info covariance for one ground-truth pair — the
+    benchmark-scene authoring utility (threedmatch/utils.py:197-228).
+
+    Both clouds are voxel-downsampled to 1 cm; overlap uses radius
+    5*voxel_size. The covariance is sum_i g_i^T g_i over <=5000 mutual
+    near-neighbor src points, where g = [I_3 | -[p]_x] linearizes the
+    small-pose residual (the redwood-benchmark convention: columns 3:6 are
+    the rotational DoF crossed against the point). Takes raw (N, 3) arrays
+    instead of open3d point clouds.
+    """
+    from scipy.spatial import cKDTree
+
+    from ref_geotransformer_tpu.utils.registration import apply_transform_np, compute_overlap
+
+    ref_points = voxel_down_sample_np(np.asarray(ref_points), 0.01)
+    src_points = voxel_down_sample_np(np.asarray(src_points), 0.01)
+
+    overlap = compute_overlap(ref_points, src_points, transform, positive_radius=voxel_size * 5)
+
+    # per ref point: nearest transformed-src index; keep src points that are
+    # the NN of a ref point within voxel_size (duplicates kept, matching the
+    # reference's indexing direction at threedmatch/utils.py:208-212)
+    src_t = apply_transform_np(src_points, transform)
+    nn_distances, nn_indices = cKDTree(src_t).query(ref_points, k=1)
+    nn_indices = nn_indices[nn_distances < voxel_size]
+    if nn_indices.shape[0] > 5000:
+        rng = rng or np.random.default_rng()
+        nn_indices = rng.choice(nn_indices, 5000, replace=False)
+    p = src_t[nn_indices]
+    if p.shape[0] == 0:
+        return overlap, np.zeros((6, 6))
+    g = np.zeros((p.shape[0], 3, 6))
+    g[:, :3, :3] = np.eye(3)
+    g[:, 0, 4] = p[:, 2]
+    g[:, 0, 5] = -p[:, 1]
+    g[:, 1, 3] = -p[:, 2]
+    g[:, 1, 5] = p[:, 0]
+    g[:, 2, 3] = p[:, 1]
+    g[:, 2, 4] = -p[:, 0]
+    cov_matrix = np.einsum("nij,nik->jk", g, g)
+    return overlap, cov_matrix
+
+
 def _rotation_to_quaternion(rot: np.ndarray) -> np.ndarray:
     """(w, x, y, z) quaternion from a rotation matrix (Shepperd's method)."""
     m = rot

@@ -39,7 +39,9 @@ _PALLAS_KPCONV = os.environ.get("REF_GT_PALLAS_KPCONV", "0")
 def _use_pallas_kpconv() -> bool:
     if _PALLAS_KPCONV == "1":
         return True
-    return _PALLAS_KPCONV == "auto" and jax.default_backend() not in ("cpu",)
+    # auto applies on TPU only: the pltpu kernel does not compile on GPU,
+    # and interpret mode is a tests-only path (forced via =1 elsewhere)
+    return _PALLAS_KPCONV == "auto" and jax.default_backend() == "tpu"
 
 
 def _pack_points_feats(s_points: jnp.ndarray, s_feats: jnp.ndarray, compute_dtype):
@@ -127,7 +129,7 @@ class KPConv(nn.Module):
             from ref_geotransformer_tpu.ops.pallas_kpconv import make_kpconv_aggregate
 
             agg = make_kpconv_aggregate(
-                float(self.sigma), interpret=jax.default_backend() == "cpu"
+                float(self.sigma), interpret=jax.default_backend() != "tpu"
             )
             feats_in = (
                 neighbor_feats.astype(self.compute_dtype)

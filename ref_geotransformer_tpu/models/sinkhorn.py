@@ -64,10 +64,13 @@ class LearnableLogOptimalTransport(nn.Module):
         # marginal log(0) + (-log(0)) = NaN. The NaN survives loss masking
         # through alpha's gradient (sum over ALL dustbin cotangents), so one
         # empty patch silently freezes training via apply_if_finite. Clamping
-        # inside the logs only changes these garbage (label-masked) patches;
-        # any patch with >= 1 valid row+col is bit-identical (torch-parity
-        # keeps holding: the reference only ever sees non-empty patches,
-        # learnable_sinkhorn.py:34-58).
+        # inside the logs changes only degenerate patches: any patch with
+        # >= 1 valid row AND >= 1 valid col is bit-identical; mixed-degenerate
+        # patches (0 valid rows but > 0 valid cols, or vice versa) get a
+        # finite dustbin marginal instead of -inf — those are always
+        # label-masked in the fine-matching loss, like fully-empty ones
+        # (torch-parity keeps holding: the reference only ever sees
+        # non-degenerate patches, learnable_sinkhorn.py:34-58).
         norm = -jnp.log(jnp.maximum(num_valid_row + num_valid_col, 1.0))  # (B,)
 
         log_mu = jnp.concatenate(

@@ -199,7 +199,9 @@ def _use_prefilter(n: int) -> bool:
         return False
     if _PREFILTER_MODE == "1":
         return True
-    return n >= _PREFILTER_MIN_N and jax.default_backend() not in ("cpu",)
+    # auto applies on TPU only (the pltpu kernel does not compile on GPU;
+    # non-TPU backends fall back to interpret mode only when forced with =1)
+    return n >= _PREFILTER_MIN_N and jax.default_backend() == "tpu"
 
 
 def radius_search_prefilter(
@@ -217,9 +219,15 @@ def radius_search_prefilter(
     from ref_geotransformer_tpu.ops.pallas_select import group_min_prefilter
 
     n = s_points.shape[0]
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() != "tpu"
     vals, idx = group_min_prefilter(q_points, s_points, s_masks, _PREFILTER_G,
                                     interpret=interpret)
+    if limit > vals.shape[1]:
+        # the G-fold reduction (clamped to >=128 lanes for small clouds)
+        # left fewer candidates than requested slots — approx_min_k would
+        # fail opaquely; the brute path is both correct and cheap here
+        return radius_search_brute(q_points, s_points, q_masks, s_masks,
+                                   radius, limit, approx=True)
     d, pos = selection.min_k(vals, limit)
     indices = jnp.take_along_axis(idx, pos, axis=1)
     valid = d < radius * radius
@@ -248,8 +256,9 @@ def radius_search(
         limit: static number of neighbor slots (the calibrated neighbor_limit).
         chunk: query rows per inner step (memory knob).
         method: 'approx' (brute distances + TPU-optimized approx_min_k
-            selection, default; large TPU searches route through the Pallas
-            group-min prefilter, REF_GT_PREFILTER=0 disables), 'brute'
+            selection, default; the Pallas group-min prefilter for large
+            TPU searches is opt-in via REF_GT_PREFILTER=auto/1 — the
+            default is off until the chip A/B gate passes), 'brute'
             (exact O(MN) + exact top-k), 'prefilter' (force the Pallas
             path), or 'bucket' (grid-accelerated candidate gathering; loses
             to the dense methods on TPU, where random gathers are slower

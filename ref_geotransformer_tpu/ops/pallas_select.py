@@ -70,7 +70,7 @@ def group_min_prefilter(
     s_points: jnp.ndarray,
     s_masks: jnp.ndarray,
     num_groups: int,
-    block_q: int = 256,
+    block_q: int = 128,
     interpret: bool = False,
 ):
     """Strided group-min over support candidates, distance-fused.
@@ -81,7 +81,11 @@ def group_min_prefilter(
         s_masks: (N,) bool validity; invalid supports get _FILL distance.
         num_groups: reduction factor G; lane class size S = ceil(N/G)
             (padded with invalid sentinels).
-        block_q: query rows per grid step.
+        block_q: query rows per grid step. The two (block_q, S) output
+            blocks live double-buffered in VMEM across the sequential G
+            axis: 2 * 2 * block_q * S * 4 bytes must stay under the 16 MB
+            scoped-VMEM limit (block_q=256 at G=4/N=40960 OOMs on v5e —
+            measured, tools/bench_pyramid_kernel.py r04).
 
     Returns:
         (vals, idx): (M, S) squared distances (_FILL where no valid

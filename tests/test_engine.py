@@ -57,6 +57,29 @@ def test_eval_step(setup):
         assert np.isfinite(float(metrics[key])), key
 
 
+def test_eval_step_data_parallel_matches_single(setup):
+    """The full eval-metric dict (not just finiteness) agrees between the
+    mesh eval and the single-device eval with identical params — the
+    SPMD counterpart of the reference's metric all-reduce
+    (utils/torch.py:16-34). Train a few steps first so the weights and the
+    continuous metrics (loss/RRE/RTE/IR) are non-trivial."""
+    cfg, model, batch, state, _ = setup
+    mesh = make_mesh(num_devices=4)
+    sharded = shard_batch(batch, mesh)
+
+    step_dp = make_train_step(model, cfg, mesh=mesh, donate=False)
+    for i in range(3):
+        state, _ = step_dp(state, sharded, jax.random.key(i))
+
+    metrics_dp = jax.device_get(make_eval_step(model, cfg, mesh=mesh)(state, sharded))
+    metrics_1 = jax.device_get(make_eval_step(model, cfg)(jax.device_get(state), batch))
+    assert set(metrics_dp) == set(metrics_1)
+    for key in sorted(metrics_dp):
+        a, b = float(metrics_dp[key]), float(metrics_1[key])
+        assert np.isfinite(a) and np.isfinite(b), key
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5, err_msg=key)
+
+
 def test_data_parallel_convergence_trajectory(setup, tmp_path):
     """20-step DP-vs-single-device loss-trajectory equality, with a
     checkpoint save/restore in the middle of the DP run.

@@ -200,3 +200,68 @@ def test_dump_registration_npz_compaction(tmp_path):
     )
     assert dumped["ref_corr_points"].shape == (3, 3)
     assert float(dumped["overlap"]) == 0.7
+
+
+def test_read_pose_file(tmp_path):
+    pose = random_transform(seed=7)
+    path = tmp_path / "cloud_bin_0.info.txt"
+    with open(path, "w") as f:
+        f.write("cloud_bin_0\t0\t60\n")
+        for row in pose.tolist():
+            f.write("\t ".join(f"{x:.12f}" for x in row) + "\n")
+    from ref_geotransformer_tpu.data.benchmark_3dmatch import read_pose_file
+
+    out = read_pose_file(str(path))
+    assert out.shape == (4, 4)
+    np.testing.assert_allclose(out, pose, atol=1e-9)
+
+
+def test_voxel_down_sample_np_centroids():
+    from ref_geotransformer_tpu.data.benchmark_3dmatch import voxel_down_sample_np
+
+    # two clusters well inside separate voxels -> exactly their centroids
+    a = np.array([[0.01, 0.01, 0.01], [0.03, 0.02, 0.01]], np.float64)
+    b = np.array([[1.01, 1.02, 1.03], [1.04, 1.02, 1.01], [1.02, 1.05, 1.02]], np.float64)
+    pts = np.concatenate([a, b], axis=0)
+    out = voxel_down_sample_np(pts, 0.5)
+    assert out.shape == (2, 3)
+    got = out[np.argsort(out[:, 0])]
+    np.testing.assert_allclose(got[0], a.mean(axis=0), atol=1e-6)
+    np.testing.assert_allclose(got[1], b.mean(axis=0), atol=1e-6)
+    assert voxel_down_sample_np(np.zeros((0, 3)), 0.1).shape == (0, 3)
+
+
+def test_calibrate_ground_truth_covariance_discriminates():
+    """The generated gt.info covariance must make compute_transform_error
+    accept the true pose and reject a clearly-wrong one (the redwood RR
+    protocol's decision rule)."""
+    from ref_geotransformer_tpu.data.benchmark_3dmatch import calibrate_ground_truth
+
+    g = np.random.default_rng(3)
+    src = g.uniform(-1, 1, (4000, 3))
+    gt = random_transform(seed=3)
+    ref = apply_transform_np(src, gt) + g.normal(0, 0.001, (4000, 3))
+
+    overlap, cov = calibrate_ground_truth(ref, src, gt, rng=np.random.default_rng(0))
+    assert overlap > 0.5
+    assert cov.shape == (6, 6)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-8)
+    assert cov[0, 0] > 0  # = number of correspondences used
+
+    err_good = compute_transform_error(gt, cov, gt)
+    assert err_good <= 1e-9
+
+    bad = gt.copy()
+    bad[:3, 3] += 0.5  # half-meter translation error
+    err_bad = compute_transform_error(gt, cov, bad)
+    assert err_bad > 0.2**2  # rejected at the official 0.2 m threshold
+
+
+def test_calibrate_ground_truth_no_overlap():
+    from ref_geotransformer_tpu.data.benchmark_3dmatch import calibrate_ground_truth
+
+    ref = np.random.default_rng(0).uniform(0, 1, (500, 3))
+    src = ref + 100.0  # disjoint
+    overlap, cov = calibrate_ground_truth(ref, src, np.eye(4))
+    assert overlap == 0.0
+    np.testing.assert_allclose(cov, np.zeros((6, 6)))

@@ -24,11 +24,16 @@ import numpy as np
 from _timing import scan_timeit
 
 
-def recall_vs_exact(idx, exact_idx, k):
-    hits = 0
-    for i in range(idx.shape[0]):
-        hits += len(set(idx[i, :k].tolist()) & set(exact_idx[i, :k].tolist()))
-    return hits / (idx.shape[0] * k)
+def recall_vs_exact(idx, exact_idx, exact_sq, radius_sq, k):
+    """Recall over the exact WITHIN-RADIUS neighbors only. Slots beyond the
+    radius are masked to the sentinel by radius_search downstream
+    (neighbors.py), so agreement on far candidates is irrelevant — counting
+    them (as the r03 version of this gate did) underestimates the recall
+    that actually matters by ~30 points."""
+    relevant = exact_sq[:, :k] < radius_sq  # (M, k)
+    hits = (idx[:, None, :k] == exact_idx[:, :k, None]).any(-1) & relevant
+    denom = max(int(relevant.sum()), 1)
+    return float(hits.sum()) / denom
 
 
 def main():
@@ -83,15 +88,20 @@ def main():
             return -neg, i
 
         d, i = jax.lax.map(body, chunks)
-        return i.reshape(n, k)
+        return d.reshape(n, k), i.reshape(n, k)
 
-    exact_idx = np.array(jax.jit(exact)(p0))
+    exact_d, exact_idx = (np.array(x) for x in jax.jit(exact)(p0))
+    # the L0 search radius: what radius_search masks against downstream
+    radius_sq = float(cfg.backbone.init_radius) ** 2
+    n_relevant = int((exact_d < radius_sq).sum())
+    print(f"within-radius exact neighbors: {n_relevant} "
+          f"({n_relevant / (n * k):.3f} of all slots)", flush=True)
 
     for recall in (0.90, 0.95):
         name = f"baseline_approx_{recall}"
         ms = scan_timeit(name, lambda p, r=recall: baseline(p, r)[0], p0, inner=args.inner)
         idx = np.array(jax.jit(lambda p, r=recall: baseline(p, r)[1])(p0))
-        rec = recall_vs_exact(idx, exact_idx, k)
+        rec = recall_vs_exact(idx, exact_idx, exact_d, radius_sq, k)
         print(f"  recall vs exact: {rec:.4f}")
         results["variants"][name] = {"ms": ms, "recall": rec}
 
@@ -107,7 +117,7 @@ def main():
 
             ms = scan_timeit(name, lambda p: pf(p)[0], p0, inner=args.inner)
             idx = np.array(jax.jit(lambda p: pf(p)[1])(p0))
-            rec = recall_vs_exact(idx, exact_idx, k)
+            rec = recall_vs_exact(idx, exact_idx, exact_d, radius_sq, k)
             print(f"  recall vs exact: {rec:.4f}")
             results["variants"][name] = {"ms": ms, "recall": rec}
 
