@@ -19,6 +19,14 @@ def trainval_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel devices")
     parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument("--max_epoch", type=int, default=None, help="override cfg.optim.max_epoch")
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="join a multi-process JAX runtime (jax.distributed.initialize; "
+        "coordinator auto-detected on TPU pods or via REF_GT_COORDINATOR/"
+        "REF_GT_NUM_PROCESSES/REF_GT_PROCESS_ID) — the reference's "
+        "torch.distributed.launch analogue; one launch per host",
+    )
     return parser
 
 
@@ -37,6 +45,19 @@ def run_trainval(
     from ref_geotransformer_tpu.models import GeoTransformer
     from ref_geotransformer_tpu.parallel import make_mesh
     from ref_geotransformer_tpu.utils.common import ensure_dir
+
+    if getattr(args, "multihost", False):
+        from ref_geotransformer_tpu.parallel.multihost import (
+            apply_multihost_sharding,
+            initialize_multihost,
+        )
+
+        pidx, pcount = initialize_multihost()
+        # DistributedSampler analogue: each process reads a disjoint
+        # dataset shard (reference utils/torch.py:58-60)
+        for loader in (train_loader, valid_loader):
+            if loader is not None and hasattr(loader, "num_shards"):
+                apply_multihost_sharding(loader)
 
     ensure_dir(snapshot_dir)
     ensure_dir(log_dir)

@@ -86,7 +86,14 @@ class IterBasedEncoderTrainer:
         self.val_iters = val_iters
         self.log_steps = log_steps
         self.iteration = 0
-        self.logger = Logger(log_file=log_file)
+        from ref_geotransformer_tpu.parallel.multihost import is_primary
+
+        # process-0 gate for host side effects (reference rank-0 semantics)
+        self.primary = is_primary()
+        self.logger = Logger(
+            log_file=log_file if self.primary else None,
+            local_rank=0 if self.primary else 1,
+        )
         self.summary_board = SummaryBoard(last_n=log_steps, adaptive=True)
         self.timer = Timer()
         self.ckpt = CheckpointManager(snapshot_dir)
@@ -151,8 +158,9 @@ class IterBasedEncoderTrainer:
                     )
                 )
             if self.iteration % self.snapshot_steps == 0:
-                self.ckpt.save_epoch(f"iter-{self.iteration}", self.state.params, self.state.buffers)
-                self.ckpt.save_snapshot(self.state, 0, self.iteration)
+                if self.primary:
+                    self.ckpt.save_epoch(f"iter-{self.iteration}", self.state.params, self.state.buffers)
+                    self.ckpt.save_snapshot(self.state, 0, self.iteration)
                 self.validate()
             self.timer.record()
 
@@ -197,7 +205,14 @@ class IterBasedDDPMTrainer:
         self.ddpm_batch_size = ddpm_batch_size
         self.log_steps = log_steps
         self.iteration = 0
-        self.logger = Logger(log_file=log_file)
+        from ref_geotransformer_tpu.parallel.multihost import is_primary
+
+        # process-0 gate for host side effects (reference rank-0 semantics)
+        self.primary = is_primary()
+        self.logger = Logger(
+            log_file=log_file if self.primary else None,
+            local_rank=0 if self.primary else 1,
+        )
         self.summary_board = SummaryBoard(last_n=log_steps, adaptive=True)
         self.timer = Timer()
         self.ckpt = CheckpointManager(snapshot_dir)
@@ -295,8 +310,9 @@ class IterBasedDDPMTrainer:
                     )
                 )
             if self.iteration % self.snapshot_steps == 0:
-                self.ckpt.save_epoch(f"iter-{self.iteration}", self.state.params, self.state.buffers)
-                self.ckpt.save_snapshot(self.state, 0, self.iteration)
+                if self.primary:
+                    self.ckpt.save_epoch(f"iter-{self.iteration}", self.state.params, self.state.buffers)
+                    self.ckpt.save_snapshot(self.state, 0, self.iteration)
                 self.validate()
             self.timer.record()
 

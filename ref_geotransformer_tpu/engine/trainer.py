@@ -56,7 +56,16 @@ class EpochBasedTrainer:
         self.epoch = 0
         self.iteration = 0
 
-        self.logger = Logger(log_file=log_file)
+        # host-side side effects (log/event files, snapshots) belong to
+        # process 0 — the reference's rank-0 gate (engine/logger.py:29-33,
+        # base_trainer.py:115). Single-host: always primary.
+        from ref_geotransformer_tpu.parallel.multihost import is_primary
+
+        self.primary = is_primary()
+        self.logger = Logger(
+            log_file=log_file if self.primary else None,
+            local_rank=0 if self.primary else 1,
+        )
         self.summary_board = SummaryBoard(last_n=log_steps, adaptive=True)
         self.timer = Timer()
         self.ckpt = CheckpointManager(snapshot_dir)
@@ -68,7 +77,7 @@ class EpochBasedTrainer:
         self.profile_steps = profile_steps
         from ref_geotransformer_tpu.utils.events import EventWriter
 
-        self.events = EventWriter(event_dir, enabled=event_dir is not None)
+        self.events = EventWriter(event_dir, enabled=event_dir is not None and self.primary)
 
         self.train_step = make_train_step(model, cfg, mesh=mesh)
         self.eval_step = make_eval_step(model, cfg, mesh=mesh)
@@ -149,8 +158,9 @@ class EpochBasedTrainer:
         while self.epoch < self.max_epoch:
             self.epoch += 1
             self.train_epoch()
-            self.ckpt.save_epoch(f"epoch-{self.epoch}", self.state.params, self.state.buffers)
-            self.ckpt.save_snapshot(self.state, self.epoch, self.iteration)
+            if self.primary:
+                self.ckpt.save_epoch(f"epoch-{self.epoch}", self.state.params, self.state.buffers)
+                self.ckpt.save_snapshot(self.state, self.epoch, self.iteration)
             if self.epoch % val_every == 0 or self.epoch == self.max_epoch:
                 self.inference_epoch()
         for hook in self.after_train_hooks:

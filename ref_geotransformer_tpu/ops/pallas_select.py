@@ -99,6 +99,14 @@ def group_min_prefilter(
     s = -(-s // 128) * 128
     g = -(-n // s)
 
+    # the two (block_q, S) output blocks live multi-buffered in VMEM across
+    # the sequential G axis; Mosaic's measured footprint is ~3.3x the raw
+    # block bytes (double buffer + revisited-output staging: block_q=128 at
+    # S=5120 showed 17.5 MB scoped vs the 16 MB limit — see
+    # tools/bench_pyramid_kernel.py r04). Keep block_q * S under 128*2560.
+    while block_q > 8 and block_q * s > 128 * 2560:
+        block_q //= 2
+
     mq = -(-m // block_q) * block_q
     q_pad = jnp.pad(q_points.astype(jnp.float32), ((0, mq - m), (0, 125)))
     # transposed support panel: rows xyz + invalid flag, padded cols invalid

@@ -16,11 +16,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a batched pytree (leading dim = batch) onto the mesh, sharded
-    over `axis`."""
+    over `axis`.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    only its dataset shard (PairLoader num_shards/shard_index), so the local
+    array is this process's slice of the global batch —
+    `make_array_from_process_local_data` assembles the global jax.Array
+    (leading dim = local_batch * process_count) without any cross-host
+    copy. This is the hand-off point between the DistributedSampler
+    analogue and the SPMD step."""
     sharding = NamedSharding(mesh, P(axis))
 
-    def place(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() > 1:
+        def place(x):
+            return jax.make_array_from_process_local_data(sharding, x)
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)
 

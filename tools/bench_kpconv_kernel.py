@@ -60,17 +60,20 @@ def main():
 
         row = {}
         for label, feats in (("f32", feats_f32), ("bf16", feats_bf16)):
+            # feats/valid must be real arguments: closing over them bakes
+            # ~300 MB of constants into the HLO and the remote-compile
+            # request is rejected with HTTP 413 (measured r04)
             ms_x = scan_timeit(
                 f"{name} xla_{label}",
-                lambda nb, f=feats: _xla_reference(nb, f, valid, kp, sigma),
-                neighbors, inner=args.inner)
+                lambda nb, f, v: _xla_reference(nb, f, v, kp, sigma),
+                neighbors, feats, valid, inner=args.inner)
             ms_p = scan_timeit(
                 f"{name} pallas_{label}",
-                lambda nb, f=feats: kpconv_aggregate_pallas(nb, f, valid, kp, sigma),
-                neighbors, inner=args.inner)
+                lambda nb, f, v: kpconv_aggregate_pallas(nb, f, v, kp, sigma),
+                neighbors, feats, valid, inner=args.inner)
             got = np.array(jax.jit(
-                lambda nb, f=feats: kpconv_aggregate_pallas(nb, f, valid, kp, sigma)
-            )(neighbors))
+                lambda nb, f, v: kpconv_aggregate_pallas(nb, f, v, kp, sigma)
+            )(neighbors, feats, valid))
             err = float(np.max(np.abs(got - want)))
             row[label] = {"xla_ms": ms_x, "pallas_ms": ms_p, "max_err_vs_f32": err}
             print(f"  {name} {label}: xla {ms_x:.3f} ms, pallas {ms_p:.3f} ms, "
