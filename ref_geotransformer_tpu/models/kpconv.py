@@ -16,7 +16,6 @@ like the reference's appended rows (kpconv.py:91-103).
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional
 
 import jax
@@ -30,18 +29,11 @@ from ref_geotransformer_tpu.ops.index import masked_gather
 
 _SHADOW = 1e6
 
-# Fused Pallas influence+contraction (ops/pallas_kpconv.py):
-#   1 = always (CPU uses interpret mode — tests only); auto = on TPU;
-#   0 (default) = the einsum chain, until the chip A/B proves a win.
-_PALLAS_KPCONV = os.environ.get("REF_GT_PALLAS_KPCONV", "0")
-
-
-def _use_pallas_kpconv() -> bool:
-    if _PALLAS_KPCONV == "1":
-        return True
-    # auto applies on TPU only: the pltpu kernel does not compile on GPU,
-    # and interpret mode is a tests-only path (forced via =1 elsewhere)
-    return _PALLAS_KPCONV == "auto" and jax.default_backend() == "tpu"
+# A fused Pallas influence+contraction kernel was built in r03 and retired
+# in r04: its single-lane dynamic slicing does not compile under Mosaic,
+# and XLA's einsum chain already runs at the HBM floor for this op
+# (0.22 ms at the hottest L0 shape — writing the (M, K, C) accumulator
+# alone costs ~0.15 ms of bandwidth; numbers in DESIGN.md r04 §6.3).
 
 
 def _pack_points_feats(s_points: jnp.ndarray, s_feats: jnp.ndarray, compute_dtype):
@@ -123,41 +115,25 @@ class KPConv(nn.Module):
         kernel_points = self.kernel_points_var.value
 
         w = weights.astype(self.compute_dtype) if self.compute_dtype is not None else weights
-        if _use_pallas_kpconv():
-            # fused Pallas influence + neighbor contraction (f32 internal
-            # accumulation; custom VJP backs onto the einsum math)
-            from ref_geotransformer_tpu.ops.pallas_kpconv import make_kpconv_aggregate
+        # influence via the |n|^2 - 2 n.k + |k|^2 expansion: one
+        # (M*H, 3)x(3, K) MXU matmul, no (M, H, K, 3) intermediate
+        n_sq = jnp.sum(neighbors**2, axis=-1)  # (M, H)
+        k_sq = jnp.sum(kernel_points**2, axis=-1)  # (K,)
+        nk = jnp.einsum(
+            "mhd,kd->mhk", neighbors, kernel_points, preferred_element_type=jnp.float32
+        )
+        sq_distances = jnp.maximum(n_sq[:, :, None] - 2.0 * nk + k_sq[None, None, :], 0.0)
+        neighbor_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / self.sigma, 0.0)
+        neighbor_weights = jnp.where(valid[:, :, None], neighbor_weights, 0.0)
 
-            agg = make_kpconv_aggregate(
-                float(self.sigma), interpret=jax.default_backend() != "tpu"
-            )
-            feats_in = (
-                neighbor_feats.astype(self.compute_dtype)
-                if self.compute_dtype is not None else neighbor_feats
-            )
-            weighted_feats = agg(
-                neighbors, feats_in, valid.astype(jnp.float32), kernel_points
-            )
+        if self.compute_dtype is not None:
+            nw = neighbor_weights.astype(self.compute_dtype)
+            neighbor_feats = neighbor_feats.astype(self.compute_dtype)
         else:
-            # influence via the |n|^2 - 2 n.k + |k|^2 expansion: one
-            # (M*H, 3)x(3, K) MXU matmul, no (M, H, K, 3) intermediate
-            n_sq = jnp.sum(neighbors**2, axis=-1)  # (M, H)
-            k_sq = jnp.sum(kernel_points**2, axis=-1)  # (K,)
-            nk = jnp.einsum(
-                "mhd,kd->mhk", neighbors, kernel_points, preferred_element_type=jnp.float32
-            )
-            sq_distances = jnp.maximum(n_sq[:, :, None] - 2.0 * nk + k_sq[None, None, :], 0.0)
-            neighbor_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / self.sigma, 0.0)
-            neighbor_weights = jnp.where(valid[:, :, None], neighbor_weights, 0.0)
-
-            if self.compute_dtype is not None:
-                nw = neighbor_weights.astype(self.compute_dtype)
-                neighbor_feats = neighbor_feats.astype(self.compute_dtype)
-            else:
-                nw = neighbor_weights
-            weighted_feats = jnp.einsum(
-                "mhk,mhc->mkc", nw, neighbor_feats, preferred_element_type=jnp.float32
-            )
+            nw = neighbor_weights
+        weighted_feats = jnp.einsum(
+            "mhk,mhc->mkc", nw, neighbor_feats, preferred_element_type=jnp.float32
+        )
         output_feats = jnp.einsum(
             "mkc,kco->mo", weighted_feats.astype(w.dtype), w, preferred_element_type=jnp.float32
         )

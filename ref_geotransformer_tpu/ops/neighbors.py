@@ -17,7 +17,6 @@ kpconv/functional.py:6-22).
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -184,57 +183,6 @@ def radius_search_bucketed(
     return jnp.where(q_masks[:, None], out, jnp.int32(n))
 
 
-# Pallas group-min prefilter for the big searches (pallas_select.py):
-#   auto = on TPU for N >= _PREFILTER_MIN_N, off elsewhere;
-#   1 = always (CPU uses interpret mode — tests only); 0 (default) = never.
-# Default stays 0 until the chip A/B (tools/bench_pyramid_kernel.py) shows
-# an e2e win at >=0.95 true-neighbor recall on the real demo clouds.
-_PREFILTER_MODE = os.environ.get("REF_GT_PREFILTER", "0")
-_PREFILTER_G = int(os.environ.get("REF_GT_PREFILTER_G", "8"))
-_PREFILTER_MIN_N = 8192
-
-
-def _use_prefilter(n: int) -> bool:
-    if _PREFILTER_MODE == "0" or selection.EXACT:
-        return False
-    if _PREFILTER_MODE == "1":
-        return True
-    # auto applies on TPU only (the pltpu kernel does not compile on GPU;
-    # non-TPU backends fall back to interpret mode only when forced with =1)
-    return n >= _PREFILTER_MIN_N and jax.default_backend() == "tpu"
-
-
-def radius_search_prefilter(
-    q_points: jnp.ndarray,
-    s_points: jnp.ndarray,
-    q_masks: jnp.ndarray,
-    s_masks: jnp.ndarray,
-    radius: float,
-    limit: int,
-) -> jnp.ndarray:
-    """Radius neighbors via the Pallas fused distance + strided group-min
-    prefilter, then approx_min_k on the G-times-reduced matrix
-    (ops/pallas_select.py; bench + recall study in
-    tools/bench_pyramid_kernel.py)."""
-    from ref_geotransformer_tpu.ops.pallas_select import group_min_prefilter
-
-    n = s_points.shape[0]
-    interpret = jax.default_backend() != "tpu"
-    vals, idx = group_min_prefilter(q_points, s_points, s_masks, _PREFILTER_G,
-                                    interpret=interpret)
-    if limit > vals.shape[1]:
-        # the G-fold reduction (clamped to >=128 lanes for small clouds)
-        # left fewer candidates than requested slots — approx_min_k would
-        # fail opaquely; the brute path is both correct and cheap here
-        return radius_search_brute(q_points, s_points, q_masks, s_masks,
-                                   radius, limit, approx=True)
-    d, pos = selection.min_k(vals, limit)
-    indices = jnp.take_along_axis(idx, pos, axis=1)
-    valid = d < radius * radius
-    valid = jnp.logical_and(valid, q_masks[:, None])
-    return jnp.where(valid, indices, jnp.int32(n))
-
-
 def radius_search(
     q_points: jnp.ndarray,
     s_points: jnp.ndarray,
@@ -256,13 +204,15 @@ def radius_search(
         limit: static number of neighbor slots (the calibrated neighbor_limit).
         chunk: query rows per inner step (memory knob).
         method: 'approx' (brute distances + TPU-optimized approx_min_k
-            selection, default; the Pallas group-min prefilter for large
-            TPU searches is opt-in via REF_GT_PREFILTER=auto/1 — the
-            default is off until the chip A/B gate passes), 'brute'
-            (exact O(MN) + exact top-k), 'prefilter' (force the Pallas
-            path), or 'bucket' (grid-accelerated candidate gathering; loses
-            to the dense methods on TPU, where random gathers are slower
-            than MXU-dense distance matmuls).
+            selection, default — measured 0.99 within-radius distance-profile
+            recall at target 0.90 on the real demo cloud, r04 A/B), 'brute'
+            (exact O(MN) + exact top-k), or 'bucket' (grid-accelerated
+            candidate gathering; loses to the dense methods on TPU, where
+            random gathers are slower than MXU-dense distance matmuls).
+            A Pallas group-min prefilter variant was built in r03 and
+            retired in r04: its VPU distance pass alone (4.75 ms) cost more
+            than the whole MXU-based approx path (2.0 ms) and it
+            miscomputed on real hardware (DESIGN.md r04).
 
     Returns:
         (M, limit) int32 neighbor indices into s_points, distance-sorted,
@@ -272,8 +222,6 @@ def radius_search(
         return radius_search_brute(q_points, s_points, q_masks, s_masks, radius, limit, chunk)
     if method == "bucket":
         return radius_search_bucketed(q_points, s_points, q_masks, s_masks, radius, limit, chunk)
-    if method == "prefilter" or (method == "approx" and _use_prefilter(s_points.shape[0])):
-        return radius_search_prefilter(q_points, s_points, q_masks, s_masks, radius, limit)
     return radius_search_brute(q_points, s_points, q_masks, s_masks, radius, limit, chunk, approx=True)
 
 

@@ -1,9 +1,12 @@
-"""A/B the fused Pallas KPConv influence+contraction kernel against the
-einsum chain at the real backbone shapes (the ~18 ms/pair level-0/1 floor,
-DESIGN.md round-2 decomposition).
+"""Measure the KPConv influence+contraction einsum chain at the real
+backbone shapes.
 
-Per shape/variant: scan-amortized forward time (tools/_timing.py floor
-correction) + max abs error vs the f32 einsum reference.
+The fused Pallas kernel this used to A/B was retired in r04: its
+single-lane dynamic slices do not compile under Mosaic, and the XLA chain
+already runs at the HBM floor for this op (writing the (M, K, C)
+accumulator alone is ~0.15 ms of bandwidth at L0; measured 0.22 ms total).
+Numbers + verdict in DESIGN.md r04 §6.3. This tool keeps the XLA floor
+measurement.
 
 Usage: python tools/bench_kpconv_kernel.py [--inner 20] [--out FILE.json]
 """
@@ -19,6 +22,21 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 from _timing import scan_timeit
+
+
+def _xla_reference(neighbors, feats, valid, kernel_points, sigma):
+    """The module's einsum formulation (models/kpconv.py aggregate), f32."""
+    import jax.numpy as jnp
+
+    n_sq = jnp.sum(neighbors**2, axis=-1)
+    k_sq = jnp.sum(kernel_points**2, axis=-1)
+    nk = jnp.einsum("mhd,kd->mhk", neighbors, kernel_points,
+                    preferred_element_type=jnp.float32)
+    sq_d = jnp.maximum(n_sq[:, :, None] - 2.0 * nk + k_sq[None, None, :], 0.0)
+    nw = jnp.maximum(1.0 - jnp.sqrt(sq_d) / sigma, 0.0)
+    nw = nw * valid.astype(jnp.float32)[:, :, None]
+    return jnp.einsum("mhk,mhc->mkc", nw, feats.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
 
 
 # (name, M, H, C): the 3DMatch-stage4 full-caps backbone hot shapes —
@@ -40,10 +58,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ref_geotransformer_tpu.ops.pallas_kpconv import (
-        _xla_reference, kpconv_aggregate_pallas,
-    )
-
     k, sigma = 15, 0.0625
     rng = np.random.default_rng(0)
     kp = jnp.array(rng.normal(scale=0.04, size=(k, 3)), jnp.float32)
@@ -54,10 +68,6 @@ def main():
         valid = jnp.array(rng.random((m, h)) > 0.1)
         feats_f32 = jnp.array(rng.normal(size=(m, h, c)), jnp.float32)
         feats_bf16 = feats_f32.astype(jnp.bfloat16)
-        want = np.array(jax.jit(
-            lambda nb, f, v: _xla_reference(nb, f, v, kp, sigma)
-        )(neighbors, feats_f32, valid))
-
         row = {}
         for label, feats in (("f32", feats_f32), ("bf16", feats_bf16)):
             # feats/valid must be real arguments: closing over them bakes
@@ -67,17 +77,8 @@ def main():
                 f"{name} xla_{label}",
                 lambda nb, f, v: _xla_reference(nb, f, v, kp, sigma),
                 neighbors, feats, valid, inner=args.inner)
-            ms_p = scan_timeit(
-                f"{name} pallas_{label}",
-                lambda nb, f, v: kpconv_aggregate_pallas(nb, f, v, kp, sigma),
-                neighbors, feats, valid, inner=args.inner)
-            got = np.array(jax.jit(
-                lambda nb, f, v: kpconv_aggregate_pallas(nb, f, v, kp, sigma)
-            )(neighbors, feats, valid))
-            err = float(np.max(np.abs(got - want)))
-            row[label] = {"xla_ms": ms_x, "pallas_ms": ms_p, "max_err_vs_f32": err}
-            print(f"  {name} {label}: xla {ms_x:.3f} ms, pallas {ms_p:.3f} ms, "
-                  f"err {err:.2e}", flush=True)
+            row[label] = {"xla_ms": ms_x}
+            print(f"  {name} {label}: xla {ms_x:.3f} ms", flush=True)
         results[name] = row
 
     if args.out:

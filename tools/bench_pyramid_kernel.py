@@ -1,9 +1,15 @@
-"""A/B the Pallas group-min prefilter against the approx_min_k baseline on
-the real L0/L1 search shapes (VERDICT r2 item 4).
+"""A/B the pyramid neighbor-selection variants on the real L0 search shape.
 
 For each variant: scan-amortized time (tools/_timing.py floor correction)
-AND true-neighbor recall vs the exact top-k on the same real demo cloud —
-the quality gate that retired the grid-bucket path in round 1.
+AND within-radius recall vs the exact top-k on the same real demo cloud —
+index-set recall (strict) and distance-profile recall (tie-aware; dense
+scans are full of near-equidistant neighbors, so a different-but-
+equidistant pick is functionally equivalent for KPConv).
+
+This gate retired the grid-bucket path in round 1 and the Pallas group-min
+prefilter in round 4 (its VPU distance pass alone cost 2.4x the whole
+MXU-based approx path AND it miscomputed on real hardware — full numbers
+in DESIGN.md r04).
 
 Usage: python tools/bench_pyramid_kernel.py [--inner 20] [--out FILE.json]
 """
@@ -36,6 +42,26 @@ def recall_vs_exact(idx, exact_idx, exact_sq, radius_sq, k):
     return float(hits.sum()) / denom
 
 
+def dist_recall_vs_exact(approx_sq, exact_sq, radius_sq, stride=17, tol=1e-6):
+    """Distance-profile recall: fraction of exact within-radius neighbor
+    distances matched by the approx set (row-wise sorted multiset match).
+    Tie-aware — a returned neighbor at the same distance as a missed one is
+    functionally equivalent downstream."""
+    tot, hit = 0, 0
+    for i in range(0, approx_sq.shape[0], stride):
+        e = np.sort(exact_sq[i][exact_sq[i] < radius_sq])
+        a = np.sort(approx_sq[i][approx_sq[i] < radius_sq])
+        tot += len(e)
+        j = 0
+        for x in e:
+            while j < len(a) and a[j] < x - tol:
+                j += 1
+            if j < len(a) and abs(a[j] - x) <= tol:
+                hit += 1
+                j += 1
+    return hit / max(tot, 1)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--inner", type=int, default=20)
@@ -50,7 +76,6 @@ def main():
     from ref_geotransformer_tpu.data.pyramid import build_pyramid
     from ref_geotransformer_tpu.ops import selection
     from ref_geotransformer_tpu.ops.pairwise import pairwise_distance
-    from ref_geotransformer_tpu.ops.pallas_select import group_min_prefilter
 
     cfg = make_cfg(demo=True)
     caps = cfg.capacities.points
@@ -100,10 +125,11 @@ def main():
     for recall in (0.90, 0.95):
         name = f"baseline_approx_{recall}"
         ms = scan_timeit(name, lambda p, r=recall: baseline(p, r)[0], p0, inner=args.inner)
-        idx = np.array(jax.jit(lambda p, r=recall: baseline(p, r)[1])(p0))
+        d_a, idx = (np.array(x) for x in jax.jit(lambda p, r=recall: baseline(p, r))(p0))
         rec = recall_vs_exact(idx, exact_idx, exact_d, radius_sq, k)
-        print(f"  recall vs exact: {rec:.4f}")
-        results["variants"][name] = {"ms": ms, "recall": rec}
+        drec = dist_recall_vs_exact(d_a, exact_d, radius_sq)
+        print(f"  index recall: {rec:.4f}  distance-profile recall: {drec:.4f}")
+        results["variants"][name] = {"ms": ms, "index_recall": rec, "dist_recall": drec}
 
     # ---- shuffled-support baseline: approx_min_k's recall contract assumes
     # minima spread uniformly over the reduced axis, but our clouds are
@@ -129,44 +155,11 @@ def main():
     for recall in (0.90, 0.95):
         name = f"baseline_shuffled_{recall}"
         ms = scan_timeit(name, lambda p, r=recall: baseline_shuffled(p, r)[0], p0, inner=args.inner)
-        idx = np.array(jax.jit(lambda p, r=recall: baseline_shuffled(p, r)[1])(p0))
+        d_a, idx = (np.array(x) for x in jax.jit(lambda p, r=recall: baseline_shuffled(p, r))(p0))
         rec = recall_vs_exact(idx, exact_idx, exact_d, radius_sq, k)
-        print(f"  recall vs exact: {rec:.4f}")
-        results["variants"][name] = {"ms": ms, "recall": rec}
-
-    # ---- prefilter variants ----
-    # stage 2 choices: exact top_k on the S-wide reduced matrix (neighbors
-    # land in contiguous LANES after the group-min — adversarial for a
-    # second approx pass, so exact/shuffled matter), plain approx, and
-    # approx over a static lane shuffle.
-    for g in (4, 8, 16):
-        s_width = -(-(-(-n // g) // 128) * 128 // 1)
-        lane_perm = jnp.array(np.random.default_rng(1).permutation(s_width))
-
-        def pf(p, g=g, stage2="exact", lane_perm=lane_perm):
-            vals, idx = group_min_prefilter(p, p, m0, g)
-            if stage2 == "exact":
-                neg, pos = jax.lax.top_k(-vals, k)
-                d = -neg
-            elif stage2 == "shuffle":
-                d, pos_sh = selection.min_k(vals[:, lane_perm], k, recall_target=0.95)
-                pos = lane_perm[pos_sh]
-            else:
-                d, pos = selection.min_k(vals, k, recall_target=float(stage2))
-            return d, jnp.take_along_axis(idx, pos, axis=1)
-
-        for stage2 in ("exact", "shuffle", "0.95"):
-            name = f"prefilter_g{g}_s2{stage2}"
-            ms = scan_timeit(name, lambda p, s2=stage2: pf(p, stage2=s2)[0], p0, inner=args.inner)
-            idx = np.array(jax.jit(lambda p, s2=stage2: pf(p, stage2=s2)[1])(p0))
-            rec = recall_vs_exact(idx, exact_idx, exact_d, radius_sq, k)
-            print(f"  recall vs exact: {rec:.4f}")
-            results["variants"][name] = {"ms": ms, "recall": rec}
-
-    # prefilter stage-1 alone (kernel ceiling)
-    ms = scan_timeit("prefilter_stage1_only_g8", lambda p: group_min_prefilter(p, p, m0, 8)[0],
-                     p0, inner=args.inner)
-    results["variants"]["stage1_only_g8"] = {"ms": ms}
+        drec = dist_recall_vs_exact(d_a, exact_d, radius_sq)
+        print(f"  index recall: {rec:.4f}  distance-profile recall: {drec:.4f}")
+        results["variants"][name] = {"ms": ms, "index_recall": rec, "dist_recall": drec}
 
     if args.out:
         with open(args.out, "w") as f:

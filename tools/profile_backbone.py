@@ -29,6 +29,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--inner", type=int, default=10)
     parser.add_argument("--dtype", default=None, help="override backbone compute dtype")
+    parser.add_argument("--full", action="store_true", help="full 3DMatch caps (30720)")
     args = parser.parse_args()
 
     import jax
@@ -39,7 +40,7 @@ def main():
     from ref_geotransformer_tpu.data import build_registration_inputs, pad_points
     from ref_geotransformer_tpu.models.kpconv import ConvBlock, LastUnaryBlock, ResidualBlock, UnaryBlock, nearest_upsample
 
-    cfg = make_cfg(demo=True)
+    cfg = make_cfg(demo=not args.full)
     dtype_name = args.dtype or cfg.backbone.dtype
     cdtype = {"bfloat16": jnp.bfloat16, "float32": None}[dtype_name]
     root = osp.dirname(osp.dirname(osp.abspath(__file__)))

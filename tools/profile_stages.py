@@ -25,6 +25,7 @@ from _timing import scan_timeit
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--full", action="store_true", help="full 3DMatch caps (30720) instead of demo caps")
     args = parser.parse_args()
 
     import jax
@@ -40,7 +41,7 @@ def main():
     from ref_geotransformer_tpu.ops.index import masked_gather
     from ref_geotransformer_tpu.ops.partition import point_to_node_partition
 
-    cfg = make_cfg(demo=True)
+    cfg = make_cfg(demo=not args.full)
     root = osp.dirname(osp.dirname(osp.abspath(__file__)))
     ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
     src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
