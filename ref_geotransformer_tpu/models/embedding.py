@@ -7,6 +7,7 @@ angle embedding, the SE(3)-invariant heart of GeoTransformer).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -133,7 +134,13 @@ class GeometricStructureEmbedding(nn.Module):
             # custom-VJP kernel: projection-parameter gradients flow (the
             # weight permutation above is a differentiable gather, so grads
             # land back on the Dense params automatically)
-            fn = make_geometric_embedding_vjp(self.sigma_d, self._factor_a())
+            # REF_GT_EMB_MXU=bf16 casts the projection matmul operands (f32
+            # sinusoids/accumulation/output stay). Measured at full caps
+            # (N=1024, C=256): NO win — 25.25 vs 25.31 ms — the kernel is
+            # transcendental-bound (~1G sin/cos per call), not matmul-bound
+            # (DESIGN.md r04), so the default stays f32 (zero numerics drift).
+            mxu_dtype = jnp.bfloat16 if os.environ.get("REF_GT_EMB_MXU", "f32") == "bf16" else None
+            fn = make_geometric_embedding_vjp(self.sigma_d, self._factor_a(), mxu_dtype=mxu_dtype)
             outs = [
                 fn(
                     jax.lax.stop_gradient(points[i]),

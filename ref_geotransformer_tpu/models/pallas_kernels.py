@@ -129,10 +129,14 @@ def _geo_embedding_kernel(
     d = jnp.sqrt(jnp.maximum(jnp.sum(anc**2, axis=-1), 0.0))  # (TM, TN)
 
     def sinusoid_project(idx, w, bvec):
-        # idx (TM, TN) -> (TM*TN, C) projected
+        # idx (TM, TN) -> (TM*TN, C) projected. The sinusoid math stays f32;
+        # the projection rides the MXU in the weights' dtype (bf16 when the
+        # wrapper enables it: sin/cos values are in [-1, 1], so bf16's ~3
+        # decimal digits cost <0.4% relative error on the operands while the
+        # accumulation stays f32 — measured e2e cosine in DESIGN.md r04)
         omegas = idx.reshape(tile_m * tile_n, 1) * div_term[None, :]  # (R, C/2)
         emb = jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (R, C)
-        return jnp.dot(emb, w, preferred_element_type=jnp.float32) + bvec
+        return jnp.dot(emb.astype(w.dtype), w, preferred_element_type=jnp.float32) + bvec
 
     d_proj = sinusoid_project(d / sigma_d, wd_ref[:], bd_ref[0, :])  # (R, C)
 
@@ -164,12 +168,23 @@ def geometric_embedding_pallas(
     factor_a: float,
     tile: int = 64,
     interpret: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
-    """Fused (N, N, C) geometric structure embedding ('max' angle reduction)."""
+    """Fused (N, N, C) geometric structure embedding ('max' angle reduction).
+
+    mxu_dtype (e.g. jnp.bfloat16) casts ONLY the projection matmul operands
+    — sinusoid math, accumulation, bias add, angle max, and the output stay
+    f32. At N=1024/C=256 the four per-tile (tile^2, C)@(C, C) f32 matmuls
+    dominate the kernel (the f32 MXU is 4x slower than bf16); see
+    DESIGN.md r04 for the measured A/B and accuracy check.
+    """
     n, _ = points.shape
     k = ref_vectors.shape[1]
     c = wd.shape[0]
     assert n % tile == 0, f"node capacity {n} must be a multiple of tile {tile}"
+    if mxu_dtype is not None:
+        wd = wd.astype(mxu_dtype)
+        wa = wa.astype(mxu_dtype)
 
     import functools as _ft
 
@@ -294,18 +309,21 @@ def _geo_embedding_bwd(
     return dwd, dbd[0], dwa, dba[0]
 
 
-def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64, interpret: bool = False):
+def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64,
+                                 interpret: bool = False, mxu_dtype=None):
     """Differentiable (w.r.t. the projection params) fused embedding.
 
     Returns f(points, ref_vectors, div_term, wd, bd, wa, ba) -> (N, N, C).
     Gradients flow to wd/bd/wa/ba only (geometry is stop-gradient by
-    reference semantics).
+    reference semantics). `mxu_dtype` applies to the FORWARD projection
+    matmuls only (standard mixed precision: the backward keeps f32 math).
     """
 
     @jax.custom_vjp
     def f(points, ref_vectors, div_term, wd, bd, wa, ba):
         return geometric_embedding_pallas(
-            points, ref_vectors, div_term, wd, bd, wa, ba, sigma_d, factor_a, tile, interpret
+            points, ref_vectors, div_term, wd, bd, wa, ba, sigma_d, factor_a, tile,
+            interpret, mxu_dtype=mxu_dtype,
         )
 
     def fwd(points, ref_vectors, div_term, wd, bd, wa, ba):

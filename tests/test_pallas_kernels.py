@@ -54,7 +54,8 @@ def test_geometric_embedding_pallas_matches_xla():
 
     orig = pk.make_geometric_embedding_vjp
 
-    def factory(sigma_d, factor_a, tile=64, interpret=False):
+    def factory(sigma_d, factor_a, tile=64, interpret=False, **kw):
+        # force interpret; drop mxu_dtype so the exactness check runs f32
         return orig(sigma_d, factor_a, tile=tile, interpret=True)
 
     pk.make_geometric_embedding_vjp = factory
@@ -90,7 +91,8 @@ def test_geometric_embedding_vjp_matches_xla_grads():
     # force interpret mode inside the vjp factory
     orig = pk.make_geometric_embedding_vjp
 
-    def factory(sigma_d, factor_a, tile=64, interpret=False):
+    def factory(sigma_d, factor_a, tile=64, interpret=False, **kw):
+        # force interpret; drop mxu_dtype so the exactness check runs f32
         return orig(sigma_d, factor_a, tile=tile, interpret=True)
 
     pk.make_geometric_embedding_vjp = factory
@@ -112,3 +114,31 @@ def test_geometric_embedding_vjp_matches_xla_grads():
             scale = max(np.abs(a).max(), 1.0)
             np.testing.assert_allclose(b / scale, a / scale, atol=3e-3,
                                        err_msg=f"{name}.{leaf}")
+
+
+def test_geometric_embedding_pallas_bf16_mxu_close():
+    """bf16 projection operands (the shipped TPU default) stay within bf16
+    rounding of the f32 path — sinusoids/accumulation/output remain f32."""
+    import numpy as np
+    from ref_geotransformer_tpu.models import pallas_kernels as pk
+
+    rng = np.random.default_rng(5)
+    n, c, k = 64, 32, 3
+    points = jnp.array(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    ref_vecs = jnp.array(rng.uniform(-1, 1, (n, k, 3)).astype(np.float32))
+    div_term = jnp.exp(jnp.arange(0, c, 2, dtype=jnp.float32) * (-np.log(10000.0) / c))
+    wd = jnp.array(rng.normal(size=(c, c)).astype(np.float32) * 0.1)
+    bd = jnp.array(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    wa = jnp.array(rng.normal(size=(c, c)).astype(np.float32) * 0.1)
+    ba = jnp.array(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+
+    f32 = pk.geometric_embedding_pallas(
+        points, ref_vecs, div_term, wd, bd, wa, ba, 0.2, 180.0 / (15.0 * np.pi),
+        interpret=True)
+    bf16 = pk.geometric_embedding_pallas(
+        points, ref_vecs, div_term, wd, bd, wa, ba, 0.2, 180.0 / (15.0 * np.pi),
+        interpret=True, mxu_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    err = float(jnp.max(jnp.abs(bf16 - f32)))
+    scale = float(jnp.max(jnp.abs(f32)))
+    assert err <= 0.02 * max(scale, 1.0), (err, scale)
