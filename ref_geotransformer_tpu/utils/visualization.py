@@ -52,9 +52,29 @@ def node_color_map(point_to_node: np.ndarray, num_nodes: int, seed: int = 0) -> 
     return palette[np.minimum(point_to_node, num_nodes)]
 
 
-def feature_tsne_colors(features: np.ndarray, seed: int = 0) -> np.ndarray:
-    """3-D embedding of high-dim features -> RGB (visualization.py:48-90 role;
-    PCA fallback keeps this dependency-light and deterministic)."""
+def feature_tsne_colors(features: np.ndarray, seed: int = 0, method: str = "pca") -> np.ndarray:
+    """High-dim features -> RGB in [0, 1] (reference
+    utils/visualization.py:65-77 `get_colors_with_tsne`).
+
+    method="pca" (default): project to 3 principal components — deterministic,
+    dependency-light, and fast on large clouds.
+    method="tsne": the reference's exact recipe (sklearn 1-D t-SNE,
+    perplexity 40, 300 iters, Spectral colormap) when sklearn/matplotlib are
+    installed; falls back to PCA with a warning otherwise.
+    """
+    if method == "tsne":
+        try:
+            from matplotlib import pyplot as plt
+            from sklearn.manifold import TSNE
+
+            tsne = TSNE(n_components=1, perplexity=40, max_iter=300, random_state=seed)
+            t = tsne.fit_transform(np.asarray(features, np.float64)).reshape(-1)
+            t = (t - t.min()) / max(t.max() - t.min(), 1e-9)
+            return plt.cm.Spectral(t)[:, :3]
+        except ImportError:  # pragma: no cover - env-dependent
+            import warnings
+
+            warnings.warn("sklearn/matplotlib unavailable; falling back to PCA colors")
     x = features - features.mean(0, keepdims=True)
     # PCA to 3 dims
     u, s, vt = np.linalg.svd(x, full_matrices=False)

@@ -265,3 +265,21 @@ def test_calibrate_ground_truth_no_overlap():
     overlap, cov = calibrate_ground_truth(ref, src, np.eye(4))
     assert overlap == 0.0
     np.testing.assert_allclose(cov, np.zeros((6, 6)))
+
+
+def test_feature_tsne_colors_both_methods():
+    """PCA default + the reference's sklearn t-SNE recipe (reference
+    utils/visualization.py:65-77) both yield valid RGB in [0, 1]."""
+    from ref_geotransformer_tpu.utils.visualization import feature_tsne_colors
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(64, 32)).astype(np.float32)
+    for method in ("pca", "tsne"):
+        rgb = feature_tsne_colors(feats, seed=0, method=method)
+        assert rgb.shape == (64, 3), (method, rgb.shape)
+        assert np.all(rgb >= 0.0) and np.all(rgb <= 1.0), method
+        assert np.isfinite(rgb).all(), method
+    # deterministic across calls
+    a = feature_tsne_colors(feats, seed=0, method="tsne")
+    b = feature_tsne_colors(feats, seed=0, method="tsne")
+    np.testing.assert_array_equal(a, b)
