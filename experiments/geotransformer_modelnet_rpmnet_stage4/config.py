@@ -150,13 +150,16 @@ def make_cfg() -> GeoTransformerConfig:
             recall_criterion="rre_rte",
         ),
         ransac=RansacConfig(distance_threshold=0.05, num_points=3, num_iterations=1000),
+        # REF_GT_LR / REF_GT_WARMUP support short-horizon fixture/probe runs
+        # (reference trains 100k iters with 10k warmup; a CI-scale run would
+        # otherwise never leave warmup) — same pattern as the 3dmatch config.
         optim=OptimConfig(
-            lr=1e-4,
+            lr=float(os.environ.get("REF_GT_LR", "1e-4")),
             weight_decay=1e-6,
             grad_acc_steps=1,
             max_iteration=100000,
             snapshot_steps=2000,
-            warmup_steps=10000,
+            warmup_steps=int(os.environ.get("REF_GT_WARMUP", "10000")),
             eta_init=0.1,
             eta_min=0.1,
         ),

@@ -308,3 +308,27 @@ def test_threedmatch_to_padded_pair(threedmatch_root):
     assert pair["ref_points"].shape == (512, 3)
     assert pair["ref_masks"].sum() == min(256, 300)
     assert pair["transform"].shape == (4, 4)
+
+
+def test_modelnet_optim_env_overrides(monkeypatch):
+    """REF_GT_LR / REF_GT_WARMUP shorten the reference's 100k-iter horizon
+    (10k warmup, modelnet config.py) for fixture/probe runs — without them a
+    CI-scale run never leaves warmup (lr stays ~eta_init * lr)."""
+    import importlib.util
+    import os
+
+    path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "experiments", "geotransformer_modelnet_rpmnet_stage4", "config.py")
+
+    def load_cfg():
+        spec = importlib.util.spec_from_file_location("_mn_cfg_test", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.make_cfg()
+
+    cfg = load_cfg()
+    assert cfg.optim.warmup_steps == 10000 and cfg.optim.lr == pytest.approx(1e-4)
+    monkeypatch.setenv("REF_GT_WARMUP", "300")
+    monkeypatch.setenv("REF_GT_LR", "3e-4")
+    cfg = load_cfg()
+    assert cfg.optim.warmup_steps == 300 and cfg.optim.lr == pytest.approx(3e-4)
