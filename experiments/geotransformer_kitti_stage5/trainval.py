@@ -8,13 +8,20 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
 
 
 def main():
+    from ref_geotransformer_tpu.engine.cli import (
+        maybe_initialize_multihost,
+        run_trainval,
+        trainval_parser,
+    )
+
+    args = trainval_parser().parse_args()
+    maybe_initialize_multihost(args)  # must precede any other JAX call
+
     import jax
 
     from config import LOG_DIR, SNAPSHOT_DIR, make_cfg
     from dataset import train_valid_data_loader
-    from ref_geotransformer_tpu.engine.cli import run_trainval, trainval_parser
 
-    args = trainval_parser().parse_args()
     cfg = make_cfg()
     num_devices = args.num_devices or jax.device_count()
     batch_size = args.batch_size or max(cfg.train.batch_size, num_devices)

@@ -6,7 +6,6 @@ pairs to build the latent batch, take one diffusion epsilon-loss step;
 validation = encoder -> Cordi.sample -> DDPMEvaluator (PIR@32/16/8, IIR).
 """
 
-import argparse
 import os.path as osp
 import sys
 
@@ -15,14 +14,16 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--resume", action="store_true")
+    from ref_geotransformer_tpu.engine.cli import (
+        apply_loader_sharding,
+        iter_trainval_parser,
+        maybe_initialize_multihost,
+    )
+
+    parser = iter_trainval_parser()
     parser.add_argument("--encoder_snapshot", default=None, help="encoder snapshot name (e.g. iter-100000)")
-    parser.add_argument("--max_iteration", type=int, default=None)
-    parser.add_argument("--snapshot_steps", type=int, default=None)
-    parser.add_argument("--log_steps", type=int, default=10)
-    parser.add_argument("--use_modelnet", action="store_true")
     args = parser.parse_args()
+    maybe_initialize_multihost(args)  # must precede any other JAX call
 
     import jax
     import jax.numpy as jnp
@@ -42,6 +43,7 @@ def main():
     max_iteration = args.max_iteration or cfg.optim.max_iteration
 
     train_loader, valid_loader = train_valid_data_loader(cfg, batch_size=1, use_modelnet=args.use_modelnet)
+    apply_loader_sharding(args, train_loader, valid_loader)
 
     # frozen encoder
     encoder = GeoTransformer(cfg)

@@ -5,7 +5,6 @@ Ref parity: experiments/geotransformer.modelnet.../trainval_encoder.py:21-67
 snapshot + truncated validation every 2000 iterations.
 """
 
-import argparse
 import os.path as osp
 import sys
 
@@ -14,14 +13,14 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--resume", action="store_true")
-    parser.add_argument("--batch_size", type=int, default=1)
-    parser.add_argument("--max_iteration", type=int, default=None)
-    parser.add_argument("--snapshot_steps", type=int, default=None)
-    parser.add_argument("--log_steps", type=int, default=10)
-    parser.add_argument("--use_modelnet", action="store_true", help="train on ModelNet pairs instead of LineMod")
-    args = parser.parse_args()
+    from ref_geotransformer_tpu.engine.cli import (
+        apply_loader_sharding,
+        iter_trainval_parser,
+        maybe_initialize_multihost,
+    )
+
+    args = iter_trainval_parser().parse_args()
+    maybe_initialize_multihost(args)  # must precede any other JAX call
 
     import jax
     import optax
@@ -40,8 +39,9 @@ def main():
 
     max_iteration = args.max_iteration or cfg.optim.max_iteration
     train_loader, valid_loader = train_valid_data_loader(
-        cfg, batch_size=args.batch_size, use_modelnet=args.use_modelnet
+        cfg, batch_size=args.batch_size or 1, use_modelnet=args.use_modelnet
     )
+    apply_loader_sharding(args, train_loader, valid_loader)
 
     model = GeoTransformer(cfg)
     variables = init_model_variables(model, cfg, jax.random.key(cfg.seed))

@@ -91,8 +91,8 @@ class PairLoader:
         self.shard_index = shard_index
 
     def __len__(self) -> int:
-        # this shard's actual index count: ceil-partition like _indices
-        n = len(range(self.shard_index, len(self.dataset), self.num_shards))
+        # per-shard index count: equal across shards by wrap-padding (_indices)
+        n = -(-len(self.dataset) // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -101,6 +101,15 @@ class PairLoader:
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             indices = self.rng.permutation(indices)
+        if self.num_shards > 1:
+            # Wrap-pad so every shard has the same length (reference
+            # DistributedSampler, utils/torch.py:62-66). Unequal shard
+            # lengths deadlock multihost SPMD: the processes holding an
+            # extra batch block in a collective the others never join.
+            total = -(-len(indices) // self.num_shards) * self.num_shards
+            pad = total - len(indices)
+            if pad:
+                indices = np.concatenate([indices, indices[:pad]])
         return indices[self.shard_index :: self.num_shards]
 
     def _make_batches(self) -> Iterator[Dict]:

@@ -30,6 +30,43 @@ def trainval_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def iter_trainval_parser() -> argparse.ArgumentParser:
+    """Parser for the iteration-based trainers (encoder / Cordi DDPM phases);
+    shares the --multihost contract with trainval_parser. Ref parity:
+    base_trainer.py:21-29 plus the fork's iteration knobs
+    (iter_based_trainer.py:41-210)."""
+    parser = trainval_parser()
+    parser.add_argument("--max_iteration", type=int, default=None)
+    parser.add_argument("--snapshot_steps", type=int, default=None)
+    parser.add_argument("--use_modelnet", action="store_true",
+                        help="train on ModelNet pairs instead of LineMod")
+    return parser
+
+
+def maybe_initialize_multihost(args) -> None:
+    """If --multihost was passed, join the multi-process runtime NOW.
+
+    Must be the first JAX-touching call in the process: even
+    jax.device_count() initializes the XLA backends, after which
+    jax.distributed.initialize raises. Entry points call this immediately
+    after parsing args, before building cfg/loaders/models. Idempotent."""
+    if getattr(args, "multihost", False):
+        from ref_geotransformer_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost()
+
+
+def apply_loader_sharding(args, *loaders) -> None:
+    """DistributedSampler analogue: point each loader at this process's
+    disjoint dataset shard (reference utils/torch.py:48-77)."""
+    if getattr(args, "multihost", False):
+        from ref_geotransformer_tpu.parallel.multihost import apply_multihost_sharding
+
+        for loader in loaders:
+            if loader is not None and hasattr(loader, "num_shards"):
+                apply_multihost_sharding(loader)
+
+
 def run_trainval(
     cfg,
     train_loader,
@@ -46,18 +83,10 @@ def run_trainval(
     from ref_geotransformer_tpu.parallel import make_mesh
     from ref_geotransformer_tpu.utils.common import ensure_dir
 
-    if getattr(args, "multihost", False):
-        from ref_geotransformer_tpu.parallel.multihost import (
-            apply_multihost_sharding,
-            initialize_multihost,
-        )
-
-        pidx, pcount = initialize_multihost()
-        # DistributedSampler analogue: each process reads a disjoint
-        # dataset shard (reference utils/torch.py:58-60)
-        for loader in (train_loader, valid_loader):
-            if loader is not None and hasattr(loader, "num_shards"):
-                apply_multihost_sharding(loader)
+    # safety net for callers that skipped maybe_initialize_multihost
+    # (idempotent; the entry points all call it right after argparse)
+    maybe_initialize_multihost(args)
+    apply_loader_sharding(args, train_loader, valid_loader)
 
     ensure_dir(snapshot_dir)
     ensure_dir(log_dir)
@@ -70,6 +99,14 @@ def run_trainval(
     model = GeoTransformer(cfg)
     example = next(iter(train_loader))
     example_pair = jax.tree_util.tree_map(lambda x: x[0], example)
+    # stderr breadcrumb: model.init is the first big on-device compile, and a
+    # cold TPU server can take many minutes here with no other output
+    import datetime
+    import sys as _sys
+
+    print(f"[{datetime.datetime.now():%H:%M:%S}] initializing model "
+          f"(first on-device compile; minutes on a cold TPU server)...",
+          file=_sys.stderr, flush=True)
     state, schedule = create_train_state(
         model,
         ensure_pyramids(cfg, example_pair),

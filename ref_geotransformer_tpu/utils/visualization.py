@@ -67,8 +67,13 @@ def feature_tsne_colors(features: np.ndarray, seed: int = 0, method: str = "pca"
             from matplotlib import pyplot as plt
             from sklearn.manifold import TSNE
 
-            tsne = TSNE(n_components=1, perplexity=40, max_iter=300, random_state=seed)
-            t = tsne.fit_transform(np.asarray(features, np.float64)).reshape(-1)
+            feats64 = np.asarray(features, np.float64)
+            try:
+                tsne = TSNE(n_components=1, perplexity=40, max_iter=300, random_state=seed)
+                t = tsne.fit_transform(feats64).reshape(-1)
+            except TypeError:  # sklearn < 1.5 spells it n_iter (may raise at fit)
+                tsne = TSNE(n_components=1, perplexity=40, n_iter=300, random_state=seed)
+                t = tsne.fit_transform(feats64).reshape(-1)
             t = (t - t.min()) / max(t.max() - t.min(), 1e-9)
             return plt.cm.Spectral(t)[:, :3]
         except ImportError:  # pragma: no cover - env-dependent
