@@ -75,6 +75,9 @@ def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
     bench_dtype = dtype_override or cfg.backbone.dtype
     if bench_dtype != cfg.backbone.dtype:
         cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, dtype=bench_dtype))
+    act_override = os.environ.get("BENCH_ACT")  # backbone activation dtype A/B knob
+    if act_override and act_override != cfg.backbone.act_dtype:
+        cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, act_dtype=act_override))
     if smoke:
         from ref_geotransformer_tpu.config import CapacityConfig
 
@@ -160,6 +163,7 @@ def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
         "vs_baseline_measured": round(pairs_per_sec / _measured_baseline(), 3),
         "batch": batch,
         "dtype": bench_dtype,
+        "act_dtype": cfg.backbone.act_dtype,
     }
     if flops_per_exec:
         payload["gflops_per_pair"] = round(flops_per_exec / batch / 1e9, 2)

@@ -53,6 +53,12 @@ class BackboneConfig:
     # compute dtype for the KPConv aggregation einsums ('float32' or
     # 'bfloat16'; f32 accumulation either way)
     dtype: str = "float32"
+    # end-to-end activation dtype inside the backbone ('float32' or
+    # 'bfloat16'): inter-block features, gather tables, Dense matmuls and
+    # norm outputs stay narrow (norm stats + params stay f32; outputs are
+    # cast back to f32 at the backbone boundary). Halves the gather/HBM
+    # traffic that dominates the backbone.
+    act_dtype: str = "float32"
 
     @property
     def init_radius(self) -> float:

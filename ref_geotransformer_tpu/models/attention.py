@@ -9,6 +9,13 @@ the reference's `key_masks` are ignore-masks. Scores for invalid keys are
 filled with a large negative before softmax, like the reference's -inf fill
 (rpe_transformer.py:64), but finite so fully-masked rows stay NaN-free on
 padded data.
+
+Dropout: mirrors the reference's three sites per layer — softmaxed attention
+scores (vanilla_transformer.py:64, rpe_transformer.py:66-67), the
+post-attention linear (rpe_transformer.py:102), and the FFN squeeze output
+(output_layer.py:19). `dropout=None` (every shipped config) is a no-op;
+when set, training callers pass `deterministic=False` and supply an rng
+under the 'dropout' collection. Returned attention scores are pre-dropout.
 """
 
 from __future__ import annotations
@@ -23,6 +30,15 @@ from ref_geotransformer_tpu.models.embedding import SinusoidalPositionalEmbeddin
 _NEG = -1e9
 
 
+def _score_dropout(rate: Optional[float], deterministic: bool):
+    """Dropout closure over softmaxed attention scores (the reference's
+    build_dropout_layer site, rpe_transformer.py:66-67); None/0 -> no-op."""
+    if not rate:
+        return None
+    layer = nn.Dropout(rate, name="dropout")
+    return lambda s: layer(s, deterministic=deterministic)
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, n, c = x.shape
     return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)  # (B, H, N, c)
@@ -33,7 +49,7 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * c)
 
 
-def _finish_attention(scores, v, key_weights, key_masks, attention_factors, dropout=None):
+def _finish_attention(scores, v, key_weights, key_masks, attention_factors, dropout_fn=None):
     if attention_factors is not None:
         scores = attention_factors[:, None, :, :] * scores
     if key_weights is not None:
@@ -41,7 +57,8 @@ def _finish_attention(scores, v, key_weights, key_masks, attention_factors, drop
     if key_masks is not None:
         scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
     scores = nn.softmax(scores, axis=-1)
-    hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, preferred_element_type=jnp.float32)
+    probs = scores if dropout_fn is None else dropout_fn(scores)
+    hidden = jnp.einsum("bhnm,bhmc->bhnc", probs, v, preferred_element_type=jnp.float32)
     return _merge_heads(hidden), scores
 
 
@@ -50,16 +67,19 @@ class MultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, input_q, input_k, input_v, key_weights=None, key_masks=None, attention_factors=None):
+    def __call__(self, input_q, input_k, input_v, key_weights=None, key_masks=None,
+                 attention_factors=None, deterministic: bool = True):
         h = self.num_heads
         d = self.d_model // h
         q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), h)
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), h)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), h)
         scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32) / d**0.5
-        return _finish_attention(scores, v, key_weights, key_masks, attention_factors)
+        drop = _score_dropout(self.dropout, deterministic)
+        return _finish_attention(scores, v, key_weights, key_masks, attention_factors, drop)
 
 
 class RPEMultiHeadAttention(nn.Module):
@@ -78,10 +98,11 @@ class RPEMultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, embed_qk, key_weights=None, key_masks=None,
-                 attention_factors=None):
+                 attention_factors=None, deterministic: bool = True):
         h = self.num_heads
         d = self.d_model // h
         q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), h)  # (B, H, N, c)
@@ -104,7 +125,8 @@ class RPEMultiHeadAttention(nn.Module):
             "bhnd,bnmd->bhnm", qp, embed_qk, preferred_element_type=jnp.float32
         ) + qb[..., None]
         scores = (scores_e + scores_p) / d**0.5
-        return _finish_attention(scores, v, key_weights, key_masks, attention_factors)
+        drop = _score_dropout(self.dropout, deterministic)
+        return _finish_attention(scores, v, key_weights, key_masks, attention_factors, drop)
 
 
 class PEMultiHeadAttention(nn.Module):
@@ -113,10 +135,11 @@ class PEMultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, embed_q, embed_k, key_weights=None, key_masks=None,
-                 attention_factors=None):
+                 attention_factors=None, deterministic: bool = True):
         h = self.num_heads
         d = self.d_model // h
         q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q)
@@ -125,7 +148,8 @@ class PEMultiHeadAttention(nn.Module):
                          + nn.Dense(self.d_model, name="proj_p_k")(embed_k), h)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), h)
         scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32) / d**0.5
-        return _finish_attention(scores, v, key_weights, key_masks, attention_factors)
+        drop = _score_dropout(self.dropout, deterministic)
+        return _finish_attention(scores, v, key_weights, key_masks, attention_factors, drop)
 
 
 class AttentionOutput(nn.Module):
@@ -133,14 +157,17 @@ class AttentionOutput(nn.Module):
 
     d_model: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, input_states):
+    def __call__(self, input_states, deterministic: bool = True):
         x = nn.Dense(self.d_model * 2, name="expand")(input_states)
         x = {"ReLU": nn.relu, "GELU": nn.gelu, "LeakyReLU": lambda y: nn.leaky_relu(y, 0.01)}[
             self.activation_fn
         ](x)
         x = nn.Dense(self.d_model, name="squeeze")(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, name="dropout")(x, deterministic=deterministic)
         return nn.LayerNorm(name="norm")(input_states + x)
 
 
@@ -149,14 +176,19 @@ class AttentionLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_states, memory_states, memory_weights=None, memory_masks=None,
-                 attention_factors=None):
-        hidden, scores = MultiHeadAttention(self.d_model, self.num_heads, name="attention")(
+                 attention_factors=None, deterministic: bool = True):
+        hidden, scores = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                            name="attention")(
             input_states, memory_states, memory_states,
-            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors)
+            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors,
+            deterministic=deterministic)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        if self.dropout:
+            hidden = nn.Dropout(self.dropout, name="dropout")(hidden, deterministic=deterministic)
         return nn.LayerNorm(name="norm")(hidden + input_states), scores
 
 
@@ -165,14 +197,19 @@ class RPEAttentionLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states, memory_weights=None,
-                 memory_masks=None, attention_factors=None):
-        hidden, scores = RPEMultiHeadAttention(self.d_model, self.num_heads, name="attention")(
+                 memory_masks=None, attention_factors=None, deterministic: bool = True):
+        hidden, scores = RPEMultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                               name="attention")(
             input_states, memory_states, memory_states, position_states,
-            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors)
+            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors,
+            deterministic=deterministic)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        if self.dropout:
+            hidden = nn.Dropout(self.dropout, name="dropout")(hidden, deterministic=deterministic)
         return nn.LayerNorm(name="norm")(hidden + input_states), scores
 
 
@@ -182,14 +219,17 @@ class TransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_states, memory_states, memory_weights=None, memory_masks=None,
-                 attention_factors=None):
-        hidden, scores = AttentionLayer(self.d_model, self.num_heads, name="attention")(
+                 attention_factors=None, deterministic: bool = True):
+        hidden, scores = AttentionLayer(self.d_model, self.num_heads, self.dropout,
+                                        name="attention")(
             input_states, memory_states, memory_weights=memory_weights, memory_masks=memory_masks,
-            attention_factors=attention_factors)
-        return AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden), scores
+            attention_factors=attention_factors, deterministic=deterministic)
+        return AttentionOutput(self.d_model, self.activation_fn, self.dropout,
+                               name="output")(hidden, deterministic=deterministic), scores
 
 
 class RPETransformerLayer(nn.Module):
@@ -198,14 +238,18 @@ class RPETransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states, memory_weights=None,
-                 memory_masks=None, attention_factors=None):
-        hidden, scores = RPEAttentionLayer(self.d_model, self.num_heads, name="attention")(
+                 memory_masks=None, attention_factors=None, deterministic: bool = True):
+        hidden, scores = RPEAttentionLayer(self.d_model, self.num_heads, self.dropout,
+                                           name="attention")(
             input_states, memory_states, position_states, memory_weights=memory_weights,
-            memory_masks=memory_masks, attention_factors=attention_factors)
-        return AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden), scores
+            memory_masks=memory_masks, attention_factors=attention_factors,
+            deterministic=deterministic)
+        return AttentionOutput(self.d_model, self.activation_fn, self.dropout,
+                               name="output")(hidden, deterministic=deterministic), scores
 
 
 class PETransformerLayer(nn.Module):
@@ -214,16 +258,23 @@ class PETransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states, memory_position_states,
-                 memory_weights=None, memory_masks=None, attention_factors=None):
-        hidden, scores = PEMultiHeadAttention(self.d_model, self.num_heads, name="attention")(
+                 memory_weights=None, memory_masks=None, attention_factors=None,
+                 deterministic: bool = True):
+        hidden, scores = PEMultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                              name="attention")(
             input_states, memory_states, memory_states, position_states, memory_position_states,
-            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors)
+            key_weights=memory_weights, key_masks=memory_masks, attention_factors=attention_factors,
+            deterministic=deterministic)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        if self.dropout:
+            hidden = nn.Dropout(self.dropout, name="dropout")(hidden, deterministic=deterministic)
         hidden = nn.LayerNorm(name="norm")(hidden + input_states)
-        return AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden), scores
+        return AttentionOutput(self.d_model, self.activation_fn, self.dropout,
+                               name="output")(hidden, deterministic=deterministic), scores
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -232,11 +283,13 @@ class TransformerEncoderLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, feats, masks=None):
-        out, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn, name="layer")(
-            feats, feats, memory_masks=masks)
+    def __call__(self, feats, masks=None, deterministic: bool = True):
+        out, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn, self.dropout,
+                                  name="layer")(
+            feats, feats, memory_masks=masks, deterministic=deterministic)
         return out
 
 
@@ -246,13 +299,16 @@ class TransformerDecoderLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None):
-        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
-                                      name="self_attention")(q_feats, q_feats, memory_masks=q_masks)
-        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
-                                      name="cross_attention")(q_feats, s_feats, memory_masks=s_masks)
+    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None, deterministic: bool = True):
+        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn, self.dropout,
+                                      name="self_attention")(q_feats, q_feats, memory_masks=q_masks,
+                                                             deterministic=deterministic)
+        q_feats, _ = TransformerLayer(self.d_model, self.num_heads, self.activation_fn, self.dropout,
+                                      name="cross_attention")(q_feats, s_feats, memory_masks=s_masks,
+                                                              deterministic=deterministic)
         return q_feats
 
 
@@ -263,12 +319,14 @@ class TransformerEncoder(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, feats, masks=None):
+    def __call__(self, feats, masks=None, deterministic: bool = True):
         for i in range(self.num_layers):
             feats = TransformerEncoderLayer(self.d_model, self.num_heads, self.activation_fn,
-                                            name=f"layers_{i}")(feats, masks)
+                                            self.dropout, name=f"layers_{i}")(
+                feats, masks, deterministic=deterministic)
         return feats
 
 
@@ -279,12 +337,14 @@ class TransformerDecoder(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None):
+    def __call__(self, q_feats, s_feats, q_masks=None, s_masks=None, deterministic: bool = True):
         for i in range(self.num_layers):
             q_feats = TransformerDecoderLayer(self.d_model, self.num_heads, self.activation_fn,
-                                              name=f"layers_{i}")(q_feats, s_feats, q_masks, s_masks)
+                                              self.dropout, name=f"layers_{i}")(
+                q_feats, s_feats, q_masks, s_masks, deterministic=deterministic)
         return q_feats
 
 
@@ -297,23 +357,30 @@ class RPEConditionalTransformer(nn.Module):
     num_heads: int
     activation_fn: str = "ReLU"
     parallel: bool = False
+    dropout: Optional[float] = None
 
     @nn.compact
-    def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None, masks1=None):
+    def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None, masks1=None,
+                 deterministic: bool = True):
         for i, block in enumerate(self.blocks):
             if block == "self":
                 layer = RPETransformerLayer(self.d_model, self.num_heads, self.activation_fn,
-                                            name=f"layers_{i}")
-                feats0, _ = layer(feats0, feats0, embeddings0, memory_masks=masks0)
-                feats1, _ = layer(feats1, feats1, embeddings1, memory_masks=masks1)
+                                            self.dropout, name=f"layers_{i}")
+                feats0, _ = layer(feats0, feats0, embeddings0, memory_masks=masks0,
+                                  deterministic=deterministic)
+                feats1, _ = layer(feats1, feats1, embeddings1, memory_masks=masks1,
+                                  deterministic=deterministic)
             elif block == "cross":
                 layer = TransformerLayer(self.d_model, self.num_heads, self.activation_fn,
-                                         name=f"layers_{i}")
-                new_feats0, _ = layer(feats0, feats1, memory_masks=masks1)
+                                         self.dropout, name=f"layers_{i}")
+                new_feats0, _ = layer(feats0, feats1, memory_masks=masks1,
+                                      deterministic=deterministic)
                 if self.parallel:
-                    new_feats1, _ = layer(feats1, feats0, memory_masks=masks0)
+                    new_feats1, _ = layer(feats1, feats0, memory_masks=masks0,
+                                          deterministic=deterministic)
                 else:
-                    new_feats1, _ = layer(feats1, new_feats0, memory_masks=masks0)
+                    new_feats1, _ = layer(feats1, new_feats0, memory_masks=masks0,
+                                          deterministic=deterministic)
                 feats0, feats1 = new_feats0, new_feats1
             else:
                 raise ValueError(f'Unsupported block type "{block}".')

@@ -46,6 +46,13 @@ class KPConvFPN(nn.Module):
     # vmap axis name for joint ref+src GroupNorm statistics (the reference's
     # stack-mode GroupNorm mixes both clouds of a pair; see models/norms.py)
     norm_axis_name: object = None
+    # end-to-end activation dtype INSIDE the backbone (e.g. jnp.bfloat16):
+    # inter-block feature tensors, gather tables, Dense matmuls, and norm
+    # outputs all stay narrow (norm statistics are f32; params are f32; the
+    # KPConv einsums accumulate f32). Halves the gather/HBM traffic that
+    # dominates the backbone. Outputs are cast back to f32 at the boundary
+    # so downstream heads are unaffected.
+    activation_dtype: object = None
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, data: Dict) -> List[jnp.ndarray]:
@@ -67,15 +74,20 @@ class KPConvFPN(nn.Module):
         d = self.init_dim
         r = self.init_radius
         sig = self.init_sigma
+        adt = self.activation_dtype
+        if adt is not None:
+            feats = feats.astype(adt)
 
         skip_feats = []
 
         # stage 1
         x = ConvBlock(self.input_dim, d, self.kernel_size, r, sig, self.group_norm,
                       compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                      act_dtype=adt,
                       name="encoder1_1")(feats, points[0], points[0], neighbors[0], masks[0])
         x = ResidualBlock(d, 2 * d, self.kernel_size, r, sig, self.group_norm,
                           compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                          act_dtype=adt,
                           name="encoder1_2")(x, points[0], points[0], neighbors[0], masks[0])
         skip_feats.append(x)
 
@@ -86,15 +98,17 @@ class KPConvFPN(nn.Module):
             cout = d * (2**stage)
             x = ResidualBlock(cin, cin, self.kernel_size, r, sig, self.group_norm, strided=True,
                               compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
-                              name=f"encoder{stage}_1")(
+                              act_dtype=adt, name=f"encoder{stage}_1")(
                 x, points[lvl], points[lvl - 1], subsampling[lvl - 1], masks[lvl], masks[lvl - 1])
             r *= 2.0
             sig *= 2.0
             x = ResidualBlock(cin, cout, self.kernel_size, r, sig, self.group_norm,
                               compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                              act_dtype=adt,
                               name=f"encoder{stage}_2")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
             x = ResidualBlock(cout, cout, self.kernel_size, r, sig, self.group_norm,
                               compute_dtype=self.compute_dtype, norm_axis_name=self.norm_axis_name,
+                              act_dtype=adt,
                               name=f"encoder{stage}_3")(x, points[lvl], points[lvl], neighbors[lvl], masks[lvl])
             skip_feats.append(x)
 
@@ -105,13 +119,18 @@ class KPConvFPN(nn.Module):
             latent = jnp.concatenate([up, skip_feats[lvl]], axis=1)
             cat_dim = latent.shape[1]
             if lvl == self.fine_level:
-                latent = LastUnaryBlock(cat_dim, self.output_dim, name=f"decoder{lvl + 1}")(latent)
+                latent = LastUnaryBlock(cat_dim, self.output_dim, act_dtype=adt,
+                                        name=f"decoder{lvl + 1}")(latent)
             else:
                 dec_dim = d * (2 ** (lvl + 1))
                 latent = UnaryBlock(cat_dim, dec_dim, self.group_norm,
-                                    norm_axis_name=self.norm_axis_name,
+                                    norm_axis_name=self.norm_axis_name, act_dtype=adt,
                                     name=f"decoder{lvl + 1}")(latent, masks[lvl])
             feats_list.append(latent)
 
         feats_list.reverse()
+        if adt is not None:
+            # boundary back-cast: downstream heads (transformer, matching,
+            # losses) consume f32 features regardless of the backbone dtype
+            feats_list = [f.astype(jnp.float32) for f in feats_list]
         return feats_list

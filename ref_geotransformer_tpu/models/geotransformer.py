@@ -154,6 +154,7 @@ class GeoTransformer(nn.Module):
             cfg.backbone.fine_level,
             jnp.bfloat16 if cfg.backbone.dtype == "bfloat16" else None,
             norm_axis_name="pair_norm",
+            activation_dtype=jnp.bfloat16 if cfg.backbone.act_dtype == "bfloat16" else None,
             name="backbone",
         )
         feats = jnp.stack([data["ref_feats"], data["src_feats"]], axis=0)  # (2, N0, C)

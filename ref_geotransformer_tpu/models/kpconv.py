@@ -79,6 +79,10 @@ class KPConv(nn.Module):
     sigma: float
     use_bias: bool = False
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for the MXU path
+    # activation dtype of the surrounding backbone: when set, the f32-
+    # accumulated output is cast back down so inter-block tensors (and the
+    # next block's gather table) stay narrow end-to-end
+    act_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.weights = self.param(
@@ -148,6 +152,8 @@ class KPConv(nn.Module):
 
         if self.use_bias:
             output_feats = output_feats + self.bias
+        if self.act_dtype is not None:
+            output_feats = output_feats.astype(self.act_dtype)
         return output_feats
 
 
@@ -203,10 +209,14 @@ class UnaryBlock(nn.Module):
     use_bias: bool = True
     layer_norm: bool = False
     norm_axis_name: Optional[str] = None
+    act_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, masks: Optional[jnp.ndarray] = None):
-        x = nn.Dense(self.out_channels, use_bias=self.use_bias, name="mlp")(x)
+        # act_dtype keeps the matmul + its output in the backbone's
+        # activation dtype (params stay f32; flax casts the kernel per-op)
+        x = nn.Dense(self.out_channels, use_bias=self.use_bias,
+                     dtype=self.act_dtype, name="mlp")(x)
         if self.layer_norm:
             x = nn.LayerNorm(name="norm")(x)
         else:
@@ -223,10 +233,12 @@ class LastUnaryBlock(nn.Module):
     in_channels: int
     out_channels: int
     use_bias: bool = True
+    act_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.out_channels, use_bias=self.use_bias, name="mlp")(x)
+        return nn.Dense(self.out_channels, use_bias=self.use_bias,
+                        dtype=self.act_dtype, name="mlp")(x)
 
 
 class ConvBlock(nn.Module):
@@ -243,12 +255,14 @@ class ConvBlock(nn.Module):
     layer_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     norm_axis_name: Optional[str] = None
+    act_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
-            use_bias=self.use_bias, compute_dtype=self.compute_dtype, name="KPConv",
+            use_bias=self.use_bias, compute_dtype=self.compute_dtype,
+            act_dtype=self.act_dtype, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices)
         if self.layer_norm:
             x = nn.LayerNorm(name="norm")(x)
@@ -273,6 +287,7 @@ class ResidualBlock(nn.Module):
     layer_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     norm_axis_name: Optional[str] = None
+    act_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_masks=None, s_masks=None):
@@ -283,12 +298,12 @@ class ResidualBlock(nn.Module):
         if self.in_channels != mid:
             x = UnaryBlock(self.in_channels, mid, self.group_norm, use_bias=self.use_bias,
                            layer_norm=self.layer_norm, norm_axis_name=self.norm_axis_name,
-                           name="unary1")(s_feats, s_masks)
+                           act_dtype=self.act_dtype, name="unary1")(s_feats, s_masks)
         else:
             x = s_feats
 
         conv = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, use_bias=self.use_bias,
-                      compute_dtype=self.compute_dtype, name="KPConv")
+                      compute_dtype=self.compute_dtype, act_dtype=self.act_dtype, name="KPConv")
         if self.strided:
             # strided blocks need BOTH the conv's neighborhoods and a maxpool
             # of the raw input over the same indices — fuse into ONE gather
@@ -313,11 +328,12 @@ class ResidualBlock(nn.Module):
 
         x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False,
                        use_bias=self.use_bias, layer_norm=self.layer_norm,
-                       norm_axis_name=self.norm_axis_name, name="unary2")(x, q_masks)
+                       norm_axis_name=self.norm_axis_name, act_dtype=self.act_dtype,
+                       name="unary2")(x, q_masks)
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(self.in_channels, self.out_channels, self.group_norm, has_relu=False,
                                   use_bias=self.use_bias, layer_norm=self.layer_norm,
-                                  norm_axis_name=self.norm_axis_name,
+                                  norm_axis_name=self.norm_axis_name, act_dtype=self.act_dtype,
                                   name="unary_shortcut")(shortcut, q_masks)
 
         return nn.leaky_relu(x + shortcut, 0.1)

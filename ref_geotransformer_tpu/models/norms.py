@@ -43,11 +43,16 @@ class MaskedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        xg = x.reshape(n, g, c // g)
+        # moments and normalization always in f32: with bf16 activations the
+        # statistics would lose ~3 digits otherwise. The f32 intermediates
+        # are fusion-local (no HBM round-trip); the output returns to the
+        # input dtype so a bf16 activation path stays bf16 end-to-end. For
+        # f32 inputs every cast is a no-op and the math is bit-identical.
+        xg = x.astype(jnp.float32).reshape(n, g, c // g)
         if masks is None:
-            w = jnp.ones((n, 1, 1), x.dtype)
+            w = jnp.ones((n, 1, 1), jnp.float32)
         else:
-            w = masks.astype(x.dtype)[:, None, None]
+            w = masks.astype(jnp.float32)[:, None, None]
         # two-pass moments (E[(x-mean)^2], NOT the one-pass E[x^2]-mean^2
         # shortcut, which loses ~4 digits in f32 when |mean| >> std and
         # breaks torch parity at 2e-5); each pass psums across the cloud
@@ -66,4 +71,4 @@ class MaskedGroupNorm(nn.Module):
         out = xg.reshape(n, c) * scale + bias
         if masks is not None:
             out = jnp.where(masks[:, None], out, 0.0)
-        return out
+        return out.astype(x.dtype)

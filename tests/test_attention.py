@@ -85,3 +85,31 @@ def test_conditional_transformer_runs():
     o0, o1 = module.apply(variables, f0, f1, e0, e1)
     assert o0.shape == f0.shape and o1.shape == f1.shape
     assert np.isfinite(np.asarray(o0)).all()
+
+
+def test_dropout_wiring():
+    """dropout is honored when configured (reference rpe_transformer.py:66-67,
+    output_layer.py:19): deterministic application is a no-op and equals the
+    dropout=None module on the same params; stochastic application with an
+    rng changes the output; dropout=None stays rng-free."""
+    from ref_geotransformer_tpu.models.attention import RPETransformerLayer
+
+    rng = np.random.default_rng(3)
+    b, n, c, h = 1, 6, 8, 2
+    x = jnp.array(rng.normal(size=(b, n, c)).astype(np.float32))
+    e = jnp.array(rng.normal(size=(b, n, n, c)).astype(np.float32))
+
+    plain = RPETransformerLayer(c, h)
+    dropped = RPETransformerLayer(c, h, dropout=0.5)
+    variables = plain.init(jax.random.key(0), x, x, e)
+
+    out_plain, _ = plain.apply(variables, x, x, e)
+    # deterministic (eval) mode: dropout layers are identity
+    out_det, _ = dropped.apply(variables, x, x, e, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_det), np.asarray(out_plain), atol=1e-6)
+    # train mode: needs the 'dropout' rng and must actually perturb
+    out_train, _ = dropped.apply(
+        variables, x, x, e, deterministic=False, rngs={"dropout": jax.random.key(1)}
+    )
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_plain), atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(out_train)))

@@ -69,3 +69,55 @@ def test_forward_jit_compiles(setup):
     out1 = fwd(variables, data)
     out2 = fwd(variables, data)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_bf16_activation_backbone_matches_f32(setup):
+    """act_dtype='bfloat16' keeps activations narrow INSIDE the backbone but
+    returns f32 features at the boundary close to the f32 path (norm stats
+    and accumulation stay f32, so drift is rounding-level per block)."""
+    import dataclasses
+
+    cfg, data, gt, model, variables = setup
+    cfg16 = cfg.replace(
+        backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16", act_dtype="bfloat16")
+    )
+    model16 = GeoTransformer(cfg16)
+    out32 = model.apply(variables, data)
+    out16 = model16.apply(variables, data)  # same params: dtype is call-time only
+    f32 = np.asarray(out32["ref_feats_c"])
+    f16 = np.asarray(out16["ref_feats_c"])
+    assert f16.dtype == np.float32  # boundary back-cast
+    assert np.all(np.isfinite(f16))
+    # unit-normalized coarse features: cosine alignment with the f32 path
+    cos = np.sum(f32 * f16, axis=1)
+    assert float(np.min(cos)) > 0.98, float(np.min(cos))
+    assert np.all(np.isfinite(np.asarray(out16["estimated_transform"])))
+
+
+@pytest.mark.slow
+def test_bf16_activation_grads_finite(setup):
+    """Gradients flow through the bf16 activation path (params stay f32)."""
+    import dataclasses
+
+    cfg, data, gt, model, variables = setup
+    cfg16 = cfg.replace(
+        backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16", act_dtype="bfloat16")
+    )
+    model16 = GeoTransformer(cfg16)
+
+    def loss_fn(params):
+        out = model16.apply(
+            {"params": params, "buffers": variables["buffers"]},
+            data,
+            training=True,
+            rngs={"target": jax.random.key(2)},
+        )
+        losses = overall_loss(out, data["transform"], cfg.coarse_loss, cfg.fine_loss, cfg.loss)
+        return losses["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    assert all(np.asarray(g).dtype == np.float32 for g in flat)  # f32 master grads
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0
