@@ -171,6 +171,97 @@ def measure(full: bool, smoke: bool, batch: int, dtype_override: str | None):
     return payload
 
 
+def measure_train(full: bool, smoke: bool, batch: int, dtype_override: str | None):
+    """Training-throughput headline: full train step (fwd + bwd + optimizer
+    update, the reference's de-facto workload — trainval.py:55-62) on the
+    real demo pair, steady-state pairs/s. Pyramids are built inside the step
+    (ensure_pyramids), mirroring the one-jit production path."""
+    import os.path as osp
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    from config import make_cfg
+    from ref_geotransformer_tpu.data import pad_points
+    from ref_geotransformer_tpu.engine import create_train_state, make_train_step
+    from ref_geotransformer_tpu.engine.steps import ensure_pyramids
+    from ref_geotransformer_tpu.models import GeoTransformer
+
+    cfg = make_cfg(demo=not full)
+    bench_dtype = dtype_override or cfg.backbone.dtype
+    if bench_dtype != cfg.backbone.dtype:
+        cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone, dtype=bench_dtype))
+    if smoke:
+        from ref_geotransformer_tpu.config import CapacityConfig
+
+        cfg = cfg.replace(
+            capacities=CapacityConfig(
+                points=(1024, 384, 160, 128),
+                neighbor_limits=tuple(min(nl, 128) for nl in cfg.capacities.neighbor_limits),
+                gt_candidates=512,
+                correspondence_limit=1024,
+                search_chunk=256,
+            )
+        )
+    root = osp.dirname(osp.abspath(__file__))
+    ref_raw = np.load(osp.join(root, "data", "demo", "ref.npy")).astype(np.float32)
+    src_raw = np.load(osp.join(root, "data", "demo", "src.npy")).astype(np.float32)
+    gt = np.load(osp.join(root, "data", "demo", "gt.npy")).astype(np.float32)
+
+    cap0 = cfg.capacities.points[0]
+    if smoke:
+        ref_raw = ref_raw[: cap0 - 64]
+        src_raw = src_raw[: cap0 - 64]
+    ref_p, ref_m = pad_points(ref_raw, cap0)
+    src_p, src_m = pad_points(src_raw, cap0)
+
+    pair = {
+        "ref_points": jnp.array(ref_p),
+        "ref_masks": jnp.array(ref_m),
+        "src_points": jnp.array(src_p),
+        "src_masks": jnp.array(src_m),
+        "transform": jnp.array(gt),
+    }
+    tile = lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape)
+    batch_data = {k: tile(v) for k, v in pair.items()}
+
+    model = GeoTransformer(cfg)
+    state, _ = create_train_state(
+        model, ensure_pyramids(cfg, pair), cfg.optim, steps_per_epoch=1000,
+        rng=jax.random.key(0),
+    )
+    step = make_train_step(model, cfg, donate=True)
+
+    rng = jax.random.key(1)
+    state, losses = step(state, batch_data, rng)  # compile + warmup
+    jax.device_get(losses["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        state, losses = step(state, batch_data, jax.random.fold_in(rng, i))
+    jax.device_get(losses["loss"])
+    dt = (time.time() - t0) / iters
+    return {
+        "metric": "3dmatch_train_pairs_per_sec",
+        "value": round(batch / dt, 3),
+        "unit": "pairs/sec/chip (fwd+bwd+update)",
+        "step_ms": round(dt * 1000, 1),
+        "batch": batch,
+        "dtype": bench_dtype,
+        "loss_finite": bool(np.isfinite(float(losses["loss"]))),
+        "regime": "full" if full else ("smoke" if smoke else "demo"),
+    }
+
+
 def main():
     import os.path as osp
 
@@ -205,6 +296,10 @@ def main():
             }))
             return
 
+    if os.environ.get("BENCH_TRAIN") == "1":
+        print(json.dumps(measure_train(full, smoke, batch, dtype_override)))
+        return
+
     if full or demo_only or smoke:
         print(json.dumps(measure(full, smoke, batch, dtype_override)))
         return
@@ -214,21 +309,30 @@ def main():
     # cache; on timeout/failure the demo line still ships, full: null).
     demo_payload = measure(False, False, batch, dtype_override)
     budget = int(os.environ.get("BENCH_FULL_TIMEOUT", "2700"))
-    full_payload = None
-    try:
-        env = dict(os.environ, BENCH_FULL="1")
-        proc = subprocess.run(
-            [sys.executable, osp.abspath(__file__)], env=env, timeout=budget,
-            capture_output=True, text=True, cwd=osp.dirname(osp.abspath(__file__)),
-        )
-        if proc.returncode == 0:
-            for line in reversed(proc.stdout.strip().splitlines()):
-                line = line.strip()
-                if line.startswith("{"):
-                    full_payload = json.loads(line)
-                    break
-    except (subprocess.TimeoutExpired, OSError):
-        pass
+
+    def _sub(extra_env, timeout):
+        try:
+            proc = subprocess.run(
+                [sys.executable, osp.abspath(__file__)], env=dict(os.environ, **extra_env),
+                timeout=timeout, capture_output=True, text=True,
+                cwd=osp.dirname(osp.abspath(__file__)),
+            )
+            if proc.returncode == 0:
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    line = line.strip()
+                    if line.startswith("{"):
+                        return json.loads(line)
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+        return None
+
+    full_payload = _sub({"BENCH_FULL": "1"}, budget)
+    # train-throughput headline (fwd+bwd+update at full caps); its own
+    # budget since the backward graph is a separate large compile
+    train_payload = _sub(
+        {"BENCH_FULL": "1", "BENCH_TRAIN": "1"},
+        int(os.environ.get("BENCH_TRAIN_TIMEOUT", "2700")),
+    )
 
     # Stable headline key regardless of which regime got measured: the
     # regime is an explicit field, so consumers tracking one metric name
@@ -246,6 +350,13 @@ def main():
     headline["demo"] = {k: demo_payload[k] for k in ("value", "vs_baseline", "gflops_per_pair", "mfu_pct") if k in demo_payload}
     if full_payload is None:
         headline["full"] = None  # full-caps run failed/timed out this round
+    # train throughput rides along (fwd+bwd+update pairs/s at full caps);
+    # null when its subprocess failed/timed out this round
+    headline["train"] = (
+        {k: train_payload[k] for k in ("value", "step_ms", "batch") if k in train_payload}
+        if train_payload is not None
+        else None
+    )
     print(json.dumps(headline))
 
 

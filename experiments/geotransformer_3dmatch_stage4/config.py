@@ -59,6 +59,21 @@ def make_cfg(demo: bool = False) -> GeoTransformerConfig:
         correspondence_limit=8192,
         search_chunk=2048,
     )
+    # REF_GT_NEIGHBOR_LIMITS="32,28,28,32" overrides the calibrated
+    # per-level neighbor caps (the gather-volume knob behind the backbone
+    # floor; sensitivity study in DESIGN.md r05). The defaults are the
+    # reference's keep_ratio-0.8 calibration (utils/data.py:196-221).
+    nl_env = os.environ.get("REF_GT_NEIGHBOR_LIMITS")
+    if nl_env:
+        limits = tuple(int(x) for x in nl_env.split(","))
+        assert len(limits) == 4, f"need 4 neighbor limits, got {nl_env}"
+        capacities = CapacityConfig(
+            points=capacities.points,
+            neighbor_limits=limits,
+            gt_candidates=capacities.gt_candidates,
+            correspondence_limit=capacities.correspondence_limit,
+            search_chunk=capacities.search_chunk,
+        )
     # REF_GT_CAPS_SCALE shrinks the static point capacities (e.g. 0.1 for
     # fixture-size fragments or fast CI runs); channel dims are untouched
     scale = float(os.environ.get("REF_GT_CAPS_SCALE", "1.0"))

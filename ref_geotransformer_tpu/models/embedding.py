@@ -140,7 +140,13 @@ class GeometricStructureEmbedding(nn.Module):
             # transcendental-bound (~1G sin/cos per call), not matmul-bound
             # (DESIGN.md r04), so the default stays f32 (zero numerics drift).
             mxu_dtype = jnp.bfloat16 if os.environ.get("REF_GT_EMB_MXU", "f32") == "bf16" else None
-            fn = make_geometric_embedding_vjp(self.sigma_d, self._factor_a(), mxu_dtype=mxu_dtype)
+            # REF_GT_EMB_SINCOS=xla restores XLA's precise sin/cos inside the
+            # kernel; default 'fast' uses the shared-range-reduction
+            # polynomial pair (max abs err 7e-7; the kernel is
+            # transcendental-bound — chip A/B in DESIGN.md r05)
+            fast_sincos = os.environ.get("REF_GT_EMB_SINCOS", "fast") != "xla"
+            fn = make_geometric_embedding_vjp(self.sigma_d, self._factor_a(),
+                                              mxu_dtype=mxu_dtype, fast_sincos=fast_sincos)
             outs = [
                 fn(
                     jax.lax.stop_gradient(points[i]),

@@ -86,6 +86,39 @@ def sinkhorn_log_norm_pallas(
     return out[:b]
 
 
+# --- fast sincos: shared Cody-Waite range reduction + Chebyshev-fit
+# polynomials on [-pi, pi] (near-minimax lstsq over Chebyshev nodes; see
+# DESIGN.md r05). f32 max abs error vs numpy: sin 7.4e-7, cos 6.1e-7 —
+# orders of magnitude under the quality tolerance. ~15 VPU ops per
+# sin+cos PAIR vs ~45 for XLA's precise sin + cos, and the kernel is
+# transcendental-bound (~1G evals/pair at full caps, DESIGN.md §6.5).
+_SIN_COEF = (0.999999937817121, -0.16666621107343133, 8.332791496948891e-03,
+             -1.9817630839614127e-04, 2.708830992845235e-06, -2.069812794618725e-08)
+_COS_COEF = (0.9999999890385508, -0.49999989100502806, 4.166648921445135e-02,
+             -1.388780359207217e-03, 2.4769883472518815e-05, -2.707903006926881e-07,
+             1.7245088938070118e-09)
+_INV_2PI = 0.15915494309189535
+_PI2_HI = 6.28125            # exact in f32 (few mantissa bits)
+_PI2_LO = 1.9353071795864769e-03  # 2*pi - _PI2_HI
+
+
+def _fast_sincos(x: jnp.ndarray):
+    """(sin x, cos x) for |x| up to ~1e3 rad (arguments here stay < ~1e2:
+    d/sigma_d * div_term and angle * factor_a * div_term)."""
+    q = jnp.round(x * _INV_2PI)
+    r = (x - q * _PI2_HI) - q * _PI2_LO  # [-pi, pi]
+    r2 = r * r
+    # Horner seeded from r2 * c_top (python-float literals only: Pallas
+    # kernels may not capture array constants)
+    s = r2 * _SIN_COEF[-1] + _SIN_COEF[-2]
+    for coef in _SIN_COEF[-3::-1]:
+        s = s * r2 + coef
+    c = r2 * _COS_COEF[-1] + _COS_COEF[-2]
+    for coef in _COS_COEF[-3::-1]:
+        c = c * r2 + coef
+    return s * r, c
+
+
 def _atan2_nonneg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """atan2 for y >= 0 (angle in [0, pi]) from basic ops — Mosaic has no
     atan/atan2 primitive. Range-reduce to [0, 1] and evaluate a minimax
@@ -117,6 +150,7 @@ def _geo_embedding_kernel(
     factor_a: float,
     angle_k: int,
     d_model: int,
+    fast_sincos: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -135,7 +169,11 @@ def _geo_embedding_kernel(
         # decimal digits cost <0.4% relative error on the operands while the
         # accumulation stays f32 — measured e2e cosine in DESIGN.md r04)
         omegas = idx.reshape(tile_m * tile_n, 1) * div_term[None, :]  # (R, C/2)
-        emb = jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (R, C)
+        if fast_sincos:
+            sin_o, cos_o = _fast_sincos(omegas)
+        else:
+            sin_o, cos_o = jnp.sin(omegas), jnp.cos(omegas)
+        emb = jnp.concatenate([sin_o, cos_o], axis=-1)  # (R, C)
         return jnp.dot(emb.astype(w.dtype), w, preferred_element_type=jnp.float32) + bvec
 
     d_proj = sinusoid_project(d / sigma_d, wd_ref[:], bd_ref[0, :])  # (R, C)
@@ -169,6 +207,7 @@ def geometric_embedding_pallas(
     tile: int = 64,
     interpret: bool = False,
     mxu_dtype=None,
+    fast_sincos: bool = True,
 ) -> jnp.ndarray:
     """Fused (N, N, C) geometric structure embedding ('max' angle reduction).
 
@@ -196,6 +235,7 @@ def geometric_embedding_pallas(
         factor_a=factor_a,
         angle_k=k,
         d_model=c,
+        fast_sincos=fast_sincos,
     )
     return pl.pallas_call(
         kernel,
@@ -220,6 +260,7 @@ def _geo_embedding_bwd_kernel(
     points_ref, ref_vecs_ref, div_term_ref, wa_ref, ba_ref, g_ref,
     dwd_ref, dbd_ref, dwa_ref, dba_ref,
     *, tile_m: int, tile_n: int, sigma_d: float, factor_a: float, angle_k: int, d_model: int,
+    fast_sincos: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -241,7 +282,11 @@ def _geo_embedding_bwd_kernel(
 
     def sinusoid(idx):
         omegas = idx.reshape(tile_m * tile_n, 1) * div_term[None, :]
-        return jnp.concatenate([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)  # (R, C)
+        if fast_sincos:
+            sin_o, cos_o = _fast_sincos(omegas)
+        else:
+            sin_o, cos_o = jnp.sin(omegas), jnp.cos(omegas)
+        return jnp.concatenate([sin_o, cos_o], axis=-1)  # (R, C)
 
     emb_d = sinusoid(d / sigma_d)
     dwd_ref[:] += jnp.dot(emb_d.T, g, preferred_element_type=jnp.float32)
@@ -271,7 +316,8 @@ def _geo_embedding_bwd_kernel(
 
 
 def _geo_embedding_bwd(
-    points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret=False
+    points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret=False,
+    fast_sincos=True,
 ):
     n = points.shape[0]
     k = ref_vectors.shape[1]
@@ -279,6 +325,7 @@ def _geo_embedding_bwd(
     kernel = functools.partial(
         _geo_embedding_bwd_kernel,
         tile_m=tile, tile_n=tile, sigma_d=sigma_d, factor_a=factor_a, angle_k=k, d_model=c,
+        fast_sincos=fast_sincos,
     )
     dwd, dbd, dwa, dba = pl.pallas_call(
         kernel,
@@ -310,7 +357,8 @@ def _geo_embedding_bwd(
 
 
 def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64,
-                                 interpret: bool = False, mxu_dtype=None):
+                                 interpret: bool = False, mxu_dtype=None,
+                                 fast_sincos: bool = True):
     """Differentiable (w.r.t. the projection params) fused embedding.
 
     Returns f(points, ref_vectors, div_term, wd, bd, wa, ba) -> (N, N, C).
@@ -323,7 +371,7 @@ def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64
     def f(points, ref_vectors, div_term, wd, bd, wa, ba):
         return geometric_embedding_pallas(
             points, ref_vectors, div_term, wd, bd, wa, ba, sigma_d, factor_a, tile,
-            interpret, mxu_dtype=mxu_dtype,
+            interpret, mxu_dtype=mxu_dtype, fast_sincos=fast_sincos,
         )
 
     def fwd(points, ref_vectors, div_term, wd, bd, wa, ba):
@@ -333,7 +381,8 @@ def make_geometric_embedding_vjp(sigma_d: float, factor_a: float, tile: int = 64
     def bwd(residuals, g):
         points, ref_vectors, div_term, wa, ba = residuals
         dwd, dbd, dwa, dba = _geo_embedding_bwd(
-            points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret
+            points, ref_vectors, div_term, wa, ba, g, sigma_d, factor_a, tile, interpret,
+            fast_sincos=fast_sincos,
         )
         zero_p = jnp.zeros_like(points)
         zero_r = jnp.zeros_like(ref_vectors)

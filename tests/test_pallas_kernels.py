@@ -142,3 +142,43 @@ def test_geometric_embedding_pallas_bf16_mxu_close():
     err = float(jnp.max(jnp.abs(bf16 - f32)))
     scale = float(jnp.max(jnp.abs(f32)))
     assert err <= 0.02 * max(scale, 1.0), (err, scale)
+
+
+def test_fast_sincos_accuracy():
+    """The shared-range-reduction polynomial sincos must stay within 1e-5 of
+    numpy over the kernel's real argument range (omegas up to ~1e2 rad:
+    d/sigma_d and angle*factor_a, times div_term <= 1)."""
+    from ref_geotransformer_tpu.models.pallas_kernels import _fast_sincos
+
+    x = np.concatenate([
+        np.linspace(-120.0, 120.0, 200001),
+        np.linspace(-np.pi, np.pi, 50001),  # dense near the core range
+        np.array([0.0, np.pi, -np.pi, np.pi / 2, 2 * np.pi]),
+    ]).astype(np.float32)
+    s, c = _fast_sincos(jnp.array(x))
+    s, c = np.asarray(s), np.asarray(c)
+    assert np.abs(s - np.sin(np.float64(x))).max() < 1e-5
+    assert np.abs(c - np.cos(np.float64(x))).max() < 1e-5
+
+
+def test_geometric_embedding_fast_vs_xla_sincos_paths():
+    """fast_sincos=True (default) and =False agree to float tolerance in the
+    fused kernel (interpret mode) — the env knob REF_GT_EMB_SINCOS=xla only
+    trades speed, not results."""
+    from ref_geotransformer_tpu.models.pallas_kernels import geometric_embedding_pallas
+
+    rng = np.random.default_rng(11)
+    n, c, k = 64, 32, 3
+    points = jnp.array(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    ref_vectors = jnp.array(rng.uniform(-0.3, 0.3, (n, k, 3)).astype(np.float32))
+    div_indices = jnp.arange(0, c, 2, dtype=jnp.float32)
+    div_term = jnp.exp(div_indices * (-np.log(10000.0) / c))
+    wd = jnp.array(rng.normal(size=(c, c)).astype(np.float32) * 0.1)
+    bd = jnp.array(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    wa = jnp.array(rng.normal(size=(c, c)).astype(np.float32) * 0.1)
+    ba = jnp.array(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+
+    args = (points, ref_vectors, div_term, wd, bd, wa, ba, 0.2, 180.0 / (15.0 * np.pi))
+    slow = np.asarray(geometric_embedding_pallas(*args, interpret=True, fast_sincos=False))
+    fast = np.asarray(geometric_embedding_pallas(*args, interpret=True, fast_sincos=True))
+    np.testing.assert_allclose(fast, slow, atol=5e-4, rtol=1e-4)

@@ -18,6 +18,12 @@ converter is parity-proven against live reference modules in
 tests/test_torch_parity.py) -> test.py per benchmark (feature/corr dumps)
 -> eval.py --method lgr (scene-level RR protocol) -> table vs published.
 
+The chain runs TWICE per benchmark: once with reference-exact selection
+(REF_GT_EXACT_SELECT=1, the parity setting) and once with the shipped TPU
+approx_min_k defaults (REF_GT_EXACT_SELECT=0) — the exact-vs-approx quality
+A/B that closes DESIGN.md §6.2's open end the day real weights appear.
+Disable the second leg with --no_selection_ab.
+
 `--dry_run` proves the plumbing in-sandbox: builds a random-init checkpoint
 in the reference's own .pth.tar format (from the live reference torch model),
 a synthetic 3DMatch fixture tree, and drives the same chain at tiny caps.
@@ -87,6 +93,8 @@ def main():
     parser.add_argument("--caps_scale", default=None, help="REF_GT_CAPS_SCALE override (dry runs)")
     parser.add_argument("--dry_run", action="store_true",
                         help="random-init checkpoint + synthetic fixture tree at tiny caps")
+    parser.add_argument("--no_selection_ab", action="store_true",
+                        help="skip the approx-selection leg (exact-only parity run)")
     parser.add_argument("--out", default=None, help="write the result JSON here")
     args = parser.parse_args()
 
@@ -130,28 +138,52 @@ def main():
         env, "convert",
     )
 
-    # 2+3) test.py then eval.py per benchmark
-    results = {}
-    for benchmark in args.benchmarks:
-        run([sys.executable, osp.join(EXP_DIR, "test.py"),
-             "--snapshot", args.snapshot_name, "--benchmark", benchmark], env, f"test:{benchmark}")
-        out = run([sys.executable, osp.join(EXP_DIR, "eval.py"),
-                   "--benchmark", benchmark, "--method", "lgr"], env, f"eval:{benchmark}")
-        results[benchmark] = parse_eval_summary(out)
+    # 2+3) test.py then eval.py per benchmark, per selection mode: 'exact'
+    # is the parity leg; 'approx' re-runs the same weights under the shipped
+    # TPU approx_min_k defaults (the §6.2 exact-vs-approx quality A/B)
+    selection_modes = ["exact"] if args.no_selection_ab else ["exact", "approx"]
+    results = {mode: {} for mode in selection_modes}
+    for mode in selection_modes:
+        mode_env = dict(env, REF_GT_EXACT_SELECT="1" if mode == "exact" else "0")
+        # separate feature-dump roots so the legs never overwrite each other
+        mode_env["REF_GT_OUTPUT_ROOT"] = osp.join(args.output_root, mode)
+        # reuse the converted snapshot from step 1 (shared across modes)
+        os.makedirs(osp.join(mode_env["REF_GT_OUTPUT_ROOT"],
+                             "geotransformer_3dmatch_stage4"), exist_ok=True)
+        link = osp.join(mode_env["REF_GT_OUTPUT_ROOT"],
+                        "geotransformer_3dmatch_stage4", "snapshots")
+        if not osp.exists(link):
+            os.symlink(snapshot_dir, link)
+        for benchmark in args.benchmarks:
+            run([sys.executable, osp.join(EXP_DIR, "test.py"),
+                 "--snapshot", args.snapshot_name, "--benchmark", benchmark],
+                mode_env, f"test:{benchmark}:{mode}")
+            out = run([sys.executable, osp.join(EXP_DIR, "eval.py"),
+                       "--benchmark", benchmark, "--method", "lgr"],
+                      mode_env, f"eval:{benchmark}:{mode}")
+            results[mode][benchmark] = parse_eval_summary(out)
 
-    # 4) table vs published
-    print("\n| Benchmark | Metric | Published | This repo | d |")
+    # 4) table vs published (exact = the parity leg), then exact-vs-approx
+    print("\n| Benchmark | Metric | Published | This repo (exact) | d |")
     print("|---|---|---|---|---|")
-    for benchmark, metrics in results.items():
+    for benchmark, metrics in results["exact"].items():
         pub = PUBLISHED.get(benchmark, {})
         for key, value in metrics.items():
             p = pub.get(key)
             delta = f"{value - p:+.2f}" if p is not None else "-"
             print(f"| {benchmark} | {key} | {p if p is not None else '-'} | {value} | {delta} |")
+    if "approx" in results:
+        print("\n| Benchmark | Metric | exact | approx (TPU default) | d |")
+        print("|---|---|---|---|---|")
+        for benchmark, metrics in results["approx"].items():
+            for key, value in metrics.items():
+                e = results["exact"].get(benchmark, {}).get(key)
+                delta = f"{value - e:+.2f}" if e is not None else "-"
+                print(f"| {benchmark} | {key} | {e if e is not None else '-'} | {value} | {delta} |")
 
     payload = {"checkpoint": checkpoint, "data_root": data_root,
-               "benchmarks": results, "published": PUBLISHED,
-               "dry_run": args.dry_run}
+               "benchmarks": results["exact"], "selection_ab": results,
+               "published": PUBLISHED, "dry_run": args.dry_run}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
